@@ -1,0 +1,275 @@
+"""Integer border clipping + quadtree metatile slicer.
+
+Behavioral spec: reference src/clip/mod.rs (linestring border clip,
+overflow-aware integer crossing ladder, quadtree slice_box) and
+src/clip/sutherland_hodgeman.rs (polygon ring clipping). Borders are
+('xmin'|'xmax'|'ymin'|'ymax', value).
+"""
+
+from __future__ import annotations
+
+from .types import tdiv
+from .simplify import remove_duplicate_points
+
+XMIN, XMAX, YMIN, YMAX = "xmin", "xmax", "ymin", "ymax"
+
+
+def _is_inside(p, border):
+    kind, v = border
+    if kind == XMIN:
+        return p[0] >= v
+    if kind == XMAX:
+        return p[0] <= v
+    if kind == YMIN:
+        return p[1] >= v
+    return p[1] <= v
+
+
+def _is_on_border(p, border):
+    kind, v = border
+    if kind in (XMIN, XMAX):
+        return p[0] == v
+    return p[1] == v
+
+
+def border_intersection(p1, p2, border):
+    """clip/mod.rs:88-181 — exact-integer crossing with the truncating
+    division ladder `(a/c)*b -> (b/c)*a -> (a*b)/c`, preserved verbatim
+    because it decides output vertices."""
+    x1, y1 = p1
+    x2, y2 = p2
+    kind, v = border
+    if kind in (XMIN, XMAX):
+        a = y2 - y1
+        b = v - x1
+        c = x2 - x1
+        delta = tdiv(a, c) * b
+        if delta == 0:
+            delta = tdiv(b, c) * a
+            if delta == 0:
+                delta = tdiv(a * b, c)
+        return (v, y1 + delta)
+    else:
+        a = x2 - x1
+        b = v - y1
+        c = y2 - y1
+        delta = tdiv(a, c) * b
+        if delta == 0:
+            delta = tdiv(b, c) * a
+            if delta == 0:
+                delta = tdiv(a * b, c)
+        return (x1 + delta, v)
+
+
+# ------------------------------------------------------------ line clipping
+
+_INSIDE, _OUTSIDE = 0, 1  # markers for the per-point classification
+
+
+def _clip_linestring_to_border(pts, border):
+    """clip/mod.rs:184-322. Returns None, ('LineString', …) or
+    ('MultiLineString', …)."""
+    inside_flags = [_is_inside(p, border) for p in pts]
+    if all(inside_flags):
+        return ("LineString", list(pts))
+    if not any(inside_flags):
+        return None
+
+    # classification per point i describing segment i -> i+1
+    # (clip/mod.rs:217-260)
+    lines = []
+    curr = []
+    last_inside = inside_flags[0]
+    last_point = pts[0]
+    n = len(pts)
+    for i in range(1, n + 1):
+        if i < n:
+            point = pts[i]
+            point_inside = inside_flags[i]
+            if point_inside:
+                if last_inside:
+                    opt = ("in", None)
+                else:
+                    opt = ("entry", border_intersection(last_point, point, border))
+            else:
+                if last_inside:
+                    if _is_on_border(last_point, border):
+                        opt = ("in", None)
+                    else:
+                        opt = ("exit", border_intersection(last_point, point, border))
+                else:
+                    opt = ("out", None)
+        else:
+            opt = ("in", None) if last_inside else ("out", None)
+
+        # apply classification to the PREVIOUS point (clip/mod.rs:280-305)
+        tag, xy = opt
+        if tag == "in":
+            curr.append(last_point)
+        elif tag == "out":
+            if curr:
+                if len(curr) > 1:
+                    lines.append(curr)
+                curr = []
+        elif tag == "entry":
+            curr.append(xy)
+        else:  # exit
+            curr.append(last_point)
+            curr.append(xy)
+            if len(curr) > 1:
+                lines.append(curr)
+            curr = []
+
+        if i < n:
+            last_inside = inside_flags[i]
+            last_point = pts[i]
+
+    if len(curr) > 1:
+        lines.append(curr)
+
+    if not lines:
+        return None
+    if len(lines) == 1:
+        return ("LineString", lines[0])
+    return ("MultiLineString", lines)
+
+
+# ---------------------------------------------------- Sutherland-Hodgman
+
+def _clip_ring_to_border(ring, border):
+    """sutherland_hodgeman.rs:7-78. Ring includes the closing point."""
+    if len(ring) < 3:
+        return None
+    inside_flags = [_is_inside(p, border) for p in ring]
+    if all(inside_flags):
+        return list(ring)
+    if not any(inside_flags):
+        return None
+
+    new_points = []
+    for i in range(len(ring) - 1):
+        p1, p2 = ring[i], ring[i + 1]
+        if inside_flags[i]:
+            new_points.append(p1)
+            if not inside_flags[i + 1]:
+                new_points.append(border_intersection(p1, p2, border))
+        elif inside_flags[i + 1]:
+            new_points.append(border_intersection(p1, p2, border))
+
+    if not new_points:
+        return None
+    new_points.append(new_points[0])
+    return new_points
+
+
+def _clip_polygon_to_border(rings, border):
+    """sutherland_hodgeman.rs:80-105 — exterior gone => polygon gone."""
+    ext = _clip_ring_to_border(rings[0], border)
+    if ext is None:
+        return None
+    out = [ext]
+    for interior in rings[1:]:
+        r = _clip_ring_to_border(interior, border)
+        if r is not None:
+            out.append(r)
+    return out
+
+
+# -------------------------------------------------------------- dispatchers
+
+def clip_to_border(geom, border):
+    """clip/mod.rs:371-399."""
+    typ, data = geom
+    if typ == "Point":
+        return geom if _is_inside(data, border) else None
+    if typ == "MultiPoint":
+        pts = [p for p in data if _is_inside(p, border)]
+        return ("MultiPoint", pts) if pts else None
+    if typ == "LineString":
+        return _clip_linestring_to_border(data, border)
+    if typ == "MultiLineString":
+        lines = []
+        for ls in data:
+            r = _clip_linestring_to_border(ls, border)
+            if r is None:
+                continue
+            if r[0] == "LineString":
+                lines.append(r[1])
+            else:
+                lines.extend(r[1])
+        if not lines:
+            return None
+        if len(lines) == 1:
+            return ("LineString", lines[0])
+        return ("MultiLineString", lines)
+    if typ == "Polygon":
+        rings = _clip_polygon_to_border(data, border)
+        return None if rings is None else ("Polygon", rings)
+    if typ == "MultiPolygon":
+        polys = []
+        for rings in data:
+            r = _clip_polygon_to_border(rings, border)
+            if r is not None:
+                polys.append(r)
+        return ("MultiPolygon", polys) if polys else None
+    raise ValueError(f"unsupported geometry type {typ}")
+
+
+def clip_to_bbox(geom, xmin, ymin, xmax, ymax):
+    """clip/mod.rs:402-407 — sequential XMin, XMax, YMin, YMax."""
+    for border in ((XMIN, xmin), (XMAX, xmax), (YMIN, ymin), (YMAX, ymax)):
+        geom = clip_to_border(geom, border)
+        if geom is None:
+            return None
+    return geom
+
+
+# ------------------------------------------------------------ quadtree slice
+
+def _slice_box(geom, metatile_scale, tile_x0, tile_y0, x0, y0, size, buffer):
+    """clip/mod.rs:415-486 — recursive bisection with ±buffer overlap at
+    each cut. Returns [((tile_x, tile_y), geom), ...]."""
+    if metatile_scale == 1:
+        return [((tile_x0, tile_y0), geom)]
+
+    results = []
+    half = size // 2
+    tile_half = metatile_scale // 2
+
+    left = clip_to_border(geom, (XMAX, x0 + half + buffer))
+    if left is not None:
+        topleft = clip_to_border(left, (YMAX, y0 + half + buffer))
+        if topleft is not None:
+            results.extend(_slice_box(topleft, tile_half, tile_x0, tile_y0,
+                                      x0, y0, half, buffer))
+        bottomleft = clip_to_border(left, (YMIN, y0 + half - buffer))
+        if bottomleft is not None:
+            results.extend(_slice_box(bottomleft, tile_half, tile_x0,
+                                      tile_y0 + tile_half, x0, y0 + half,
+                                      half, buffer))
+
+    right = clip_to_border(geom, (XMIN, x0 + half - buffer))
+    if right is not None:
+        topright = clip_to_border(right, (YMAX, y0 + half + buffer))
+        if topright is not None:
+            results.extend(_slice_box(topright, tile_half, tile_x0 + tile_half,
+                                      tile_y0, x0 + half, y0, half, buffer))
+        bottomright = clip_to_border(right, (YMIN, y0 + half - buffer))
+        if bottomright is not None:
+            results.extend(_slice_box(bottomright, tile_half,
+                                      tile_x0 + tile_half, tile_y0 + tile_half,
+                                      x0 + half, y0 + half, half, buffer))
+
+    return results
+
+
+def clip_geometry_to_tiles(geom, metatile_size, metatile_x, metatile_y, buffer):
+    """clip/mod.rs:564-587 — slice then per-piece duplicate-point removal.
+
+    metatile_size: tiles per metatile side (power of two).
+    metatile_x/y: tile coords of the metatile's top-left tile.
+    Returns [((tile_x, tile_y), geom_in_metatile_space), ...].
+    """
+    pieces = _slice_box(geom, metatile_size, metatile_x, metatile_y,
+                        0, 0, metatile_size * 4096, buffer)
+    return [(txy, remove_duplicate_points(g)) for txy, g in pieces]

@@ -1,0 +1,193 @@
+"""Mapbox Vector Tile 2.1 protobuf encoder (pure Python, no deps).
+
+Written from the public MVT 2.1 spec (github.com/mapbox/vector-tile-spec).
+Replaces the reference's external `mapbox_vector_tile` crate
+(lib.rs:330,362,504,724-726). Layer-level key/value dictionaries replicate
+the semantic role of the reference's StringStore interning
+(stringstore.rs:6-40).
+
+An MVT tile is a sequence of independently-encoded layer messages, so
+per-tile assembly is byte concatenation of layer fields — the property the
+reference's layer-append mode relies on (fileio.rs:164-185) and that our
+salted partial-encode merge uses.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _encode_value(v) -> bytes:
+    """MVT Value message. Type mapping follows the reference's PG->MVT
+    table (lib.rs:653-684): str->string, float(f32)->float_value,
+    double->double_value, int->int_value (sint64 varint uses field 4 with
+    plain varint of the two's complement — spec uses int_value=4 as int64),
+    bool->bool_value."""
+    import struct
+    if isinstance(v, bool):
+        return _tag(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, str):
+        return _len_delim(1, v.encode("utf-8"))
+    if isinstance(v, int):
+        # int_value field 4, varint (negative -> 10-byte two's complement)
+        return _tag(4, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
+    if isinstance(v, float):
+        return _tag(3, 1) + struct.pack("<d", v)
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "f32":
+        return _tag(2, 5) + struct.pack("<f", v[1])
+    raise ValueError(f"unsupported MVT value {v!r}")
+
+
+_GEOM_TYPE_CODE = {
+    "Point": 1, "MultiPoint": 1,
+    "LineString": 2, "MultiLineString": 2,
+    "Polygon": 3, "MultiPolygon": 3,
+}
+
+
+def _geometry_commands(geom):
+    """Command-integer stream with zigzag deltas (MVT spec §4.3)."""
+    typ, data = geom
+    cmds = []
+    cx = cy = 0
+
+    if typ in ("Point", "MultiPoint"):
+        pts = [data] if typ == "Point" else data
+        cmds.append((len(pts) << 3) | 1)
+        for x, y in pts:
+            cmds.append(_zigzag(x - cx))
+            cmds.append(_zigzag(y - cy))
+            cx, cy = x, y
+    elif typ in ("LineString", "MultiLineString"):
+        lines = [data] if typ == "LineString" else data
+        for pts in lines:
+            cmds.append((1 << 3) | 1)
+            cmds.append(_zigzag(pts[0][0] - cx))
+            cmds.append(_zigzag(pts[0][1] - cy))
+            cx, cy = pts[0]
+            cmds.append(((len(pts) - 1) << 3) | 2)
+            for x, y in pts[1:]:
+                cmds.append(_zigzag(x - cx))
+                cmds.append(_zigzag(y - cy))
+                cx, cy = x, y
+    elif typ in ("Polygon", "MultiPolygon"):
+        polys = [data] if typ == "Polygon" else data
+        for rings in polys:
+            for ring in rings:
+                pts = ring[:-1] if len(ring) >= 2 and ring[0] == ring[-1] else ring
+                if len(pts) < 3:
+                    continue
+                cmds.append((1 << 3) | 1)
+                cmds.append(_zigzag(pts[0][0] - cx))
+                cmds.append(_zigzag(pts[0][1] - cy))
+                cx, cy = pts[0]
+                cmds.append(((len(pts) - 1) << 3) | 2)
+                for x, y in pts[1:]:
+                    cmds.append(_zigzag(x - cx))
+                    cmds.append(_zigzag(y - cy))
+                    cx, cy = x, y
+                cmds.append((1 << 3) | 7)  # ClosePath
+    else:
+        raise ValueError(f"unsupported geometry {typ}")
+    return cmds
+
+
+def encode_feature(geom, tags) -> bytes:
+    cmds = _geometry_commands(geom)
+    body = b""
+    if tags:
+        tag_payload = b"".join(_varint(t) for t in tags)
+        body += _len_delim(2, tag_payload)
+    body += _tag(3, 0) + _varint(_GEOM_TYPE_CODE[geom[0]])
+    geom_payload = b"".join(_varint(c) for c in cmds)
+    body += _len_delim(4, geom_payload)
+    return body
+
+
+class LayerEncoder:
+    """Incremental layer builder with interned keys/values
+    (first-appearance order, deterministic given feature order)."""
+
+    def __init__(self, name: str, extent: int = 4096):
+        self.name = name
+        self.extent = extent
+        self.keys = []
+        self._key_idx = {}
+        self.values = []
+        self._val_idx = {}
+        self.features = []
+
+    def add_feature(self, geom, properties):
+        tags = []
+        for k, v in properties.items():
+            if v is None:
+                continue  # NULL properties omitted (lib.rs:656,680)
+            ki = self._key_idx.get(k)
+            if ki is None:
+                ki = len(self.keys)
+                self._key_idx[k] = ki
+                self.keys.append(k)
+            vk = (type(v).__name__, v)
+            vi = self._val_idx.get(vk)
+            if vi is None:
+                vi = len(self.values)
+                self._val_idx[vk] = vi
+                self.values.append(v)
+            tags.extend((ki, vi))
+        self.features.append(encode_feature(geom, tags))
+
+    def to_bytes(self) -> bytes:
+        body = _tag(15, 0) + _varint(2)  # version
+        body += _len_delim(1, self.name.encode("utf-8"))
+        for f in self.features:
+            body += _len_delim(2, f)
+        for k in self.keys:
+            body += _len_delim(3, k.encode("utf-8"))
+        for v in self.values:
+            body += _len_delim(4, _encode_value(v))
+        body += _tag(5, 0) + _varint(self.extent)
+        return body
+
+
+def encode_layer(name, features, extent: int = 4096) -> bytes:
+    """features: iterable of (geom, properties dict)."""
+    enc = LayerEncoder(name, extent)
+    for geom, props in features:
+        enc.add_feature(geom, props)
+    return enc.to_bytes()
+
+
+def encode_tile(layer_bytes_list, compress: bool = True) -> bytes:
+    """Assemble layer messages into a tile (field 3 per layer), gzip'd.
+
+    Because layers are independent length-delimited fields, partial layers
+    encoded on different partitions merge by concatenating their framed
+    bytes — the salted-skew merge path (SURVEY.md O13)."""
+    tile = b"".join(_len_delim(3, lb) for lb in layer_bytes_list)
+    if compress:
+        return gzip.compress(tile, compresslevel=6, mtime=0)
+    return tile
