@@ -1,0 +1,81 @@
+"""Layer configuration model (reference input/mod.rs:16-34, tmsource.rs,
+tegola.rs).
+
+The reference reads tm2source YAML / Tegola TOML describing PostGIS-backed
+layers. Here a Layer names a Spark DataFrame source (registered by the
+caller) plus the same zoom/buffer knobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Layer:
+    """input/mod.rs:27-34."""
+    id: str
+    source: str  # name of the feature DataFrame / table
+    minzoom: int = 0
+    maxzoom: int = 14
+    buffer: int = 0  # config pixels; 1 px = 16 tile units (lib.rs:508)
+
+
+@dataclass
+class Layers:
+    """input/mod.rs:16-24."""
+    layers: list[Layer] = field(default_factory=list)
+    global_minzoom: int = 0
+    global_maxzoom: int = 14
+    bounds: tuple | None = None
+    center: tuple | None = None
+    name: str | None = None
+    description: str | None = None
+
+    def layers_for_zoom(self, zoom: int) -> list[Layer]:
+        """Zoom filter with global clamp (lib.rs:473-479)."""
+        out = []
+        for layer in self.layers:
+            maxzoom = min(layer.maxzoom, self.global_maxzoom)
+            if layer.minzoom <= zoom <= maxzoom:
+                out.append(layer)
+        return out
+
+
+def layers_from_yaml(path: str) -> Layers:
+    """tm2source-style YAML reader (input/tmsource.rs:12-72). Expects:
+
+    minzoom: 0
+    maxzoom: 14
+    Layer:
+      - id: water
+        properties: {minzoom: 0, maxzoom: 14, buffer-size: 4}
+        Datasource: {table: water_features}
+    """
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    global_minzoom = int(doc.get("minzoom", 0))
+    global_maxzoom = int(doc.get("maxzoom", 14))
+    layers = []
+    for entry in doc.get("Layer", []):
+        props = entry.get("properties", {}) or {}
+        ds = entry.get("Datasource", {}) or {}
+        layers.append(Layer(
+            id=entry["id"],
+            source=ds.get("table", entry["id"]),
+            minzoom=int(props.get("minzoom", global_minzoom)),
+            maxzoom=int(props.get("maxzoom", global_maxzoom)),
+            buffer=int(props.get("buffer-size", 0)),
+        ))
+    return Layers(
+        layers=layers,
+        global_minzoom=global_minzoom,
+        global_maxzoom=global_maxzoom,
+        bounds=tuple(doc["bounds"]) if "bounds" in doc else None,
+        center=tuple(doc["center"]) if "center" in doc else None,
+        name=doc.get("name"),
+        description=doc.get("description"),
+    )

@@ -1,0 +1,432 @@
+"""The tile-pyramid plan builder: DataFrame-native J1/J3 joins, salted
+groupBys, per-feature geometry stages as Arrow-batched UDFs.
+
+Spark-first re-expression of the reference lifecycle (lib.rs:464-736):
+
+  features ──(bbox cover explode = J1, no shuffle)──▶ (zoom, metatile) rows
+      │ mapInPandas: remap→dedup/spikes→RDP→clip-buffered-bbox (G2-G10)
+      │ mapInPandas: quadtree tile split (G11) + make_valid (G15) +
+      │              orientation (G16) + per-tile shift (G12)  [explode J3]
+      ▼
+  groupBy(z,x,y,layer,salt).applyInPandas  ── partial MVT layer encode (A1)
+  groupBy(z,x,y,layer).applyInPandas       ── merge partials (O13 skew)
+  groupBy(z,x,y).applyInPandas             ── tile assembly + gzip (A2)
+
+Shuffles: exactly the three groupBys (the first is the heavy one; salting
+bounds its max group size). Everything upstream is narrow — the cover
+"join" is arithmetic + explode on the feature side, which Catalyst keeps
+in one stage with the scan (predicate pushdown + column pruning intact).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType,
+)
+
+from .config import Layers
+from .mercator import MERC_MAX
+from .geom.wkb import wkb_to_geom, geom_to_wkb
+from .geom.remap import remap_geometry
+from .geom.simplify import remove_unneeded_points, simplify
+from .geom.clip import clip_to_bbox, clip_geometry_to_tiles
+from .geom.validity import make_valid, is_valid, ensure_polygon_orientation
+from .geom import mvt
+
+WORLD = 2.0 * MERC_MAX
+
+# property columns: Spark type -> MVT conversion (lib.rs:653-684); columns
+# of any other type are dropped, like the reference drops unknown/bytea
+_PROP_TYPES = (StringType, LongType, IntegerType, DoubleType, FloatType,
+               BooleanType)
+
+
+def _prop_columns(df: DataFrame, exclude=("way", "feature_id")):
+    out = []
+    for f in df.schema.fields:
+        if f.name in exclude:
+            continue
+        if isinstance(f.dataType, _PROP_TYPES):
+            out.append((f.name, f.dataType))
+    return out
+
+
+def _shift_geom(geom, xoff, yoff):
+    typ, data = geom
+    if typ == "Point":
+        return (typ, (data[0] - xoff, data[1] - yoff))
+    if typ == "MultiPoint":
+        return (typ, [(x - xoff, y - yoff) for x, y in data])
+    if typ == "LineString":
+        return (typ, [(x - xoff, y - yoff) for x, y in data])
+    if typ == "MultiLineString":
+        return (typ, [[(x - xoff, y - yoff) for x, y in ls] for ls in data])
+    if typ == "Polygon":
+        return (typ, [[(x - xoff, y - yoff) for x, y in r] for r in data])
+    if typ == "MultiPolygon":
+        return (typ, [[[(x - xoff, y - yoff) for x, y in r] for r in rings]
+                      for rings in data])
+    raise ValueError(typ)
+
+
+def with_bbox(features_df: DataFrame, way_col: str = "way") -> DataFrame:
+    """Add xmin/ymin/xmax/ymax columns decoded from WKB (one Arrow pass).
+    Invalid WKB rows get null bbox and are dropped downstream — the
+    reference's silent skip (lib.rs:572-579)."""
+    from pyspark.sql.types import StructType, StructField
+
+    schema = StructType([
+        StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()), StructField("ymax", DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def bbox_udf(ways: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        n = len(ways)
+        out = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
+        for i, w in enumerate(ways):
+            if w is None:
+                continue
+            try:
+                g = wkb_to_geom(bytes(w))
+            except ValueError:
+                continue
+            xs, ys = [], []
+            _collect_coords(g, xs, ys)
+            if xs:
+                out["xmin"][i] = min(xs); out["ymin"][i] = min(ys)
+                out["xmax"][i] = max(xs); out["ymax"][i] = max(ys)
+        return pd.DataFrame(out)
+
+    return (features_df
+            .withColumn("_bbox", bbox_udf(F.col(way_col)))
+            .select("*", "_bbox.*").drop("_bbox")
+            .filter(F.col("xmin").isNotNull()))
+
+
+def _collect_coords(geom, xs, ys):
+    typ, data = geom
+    if typ == "Point":
+        xs.append(data[0]); ys.append(data[1])
+    elif typ in ("MultiPoint", "LineString"):
+        for x, y in data:
+            xs.append(x); ys.append(y)
+    elif typ in ("MultiLineString", "Polygon"):
+        for part in data:
+            for x, y in part:
+                xs.append(x); ys.append(y)
+    else:
+        for rings in data:
+            for r in rings:
+                for x, y in r:
+                    xs.append(x); ys.append(y)
+
+
+def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
+                    metatile_scale: int = 8) -> DataFrame:
+    """J1 as arithmetic: explode each feature to the (zoom, metatile) cells
+    its buffered bbox covers. Pure column math + explode — no shuffle, no
+    broadcast; replaces the reference's per-metatile PostGIS `&&` probe
+    (input/mod.rs:119, lib.rs:543-544)."""
+    df = feats.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
+    two_z_l = F.expr("shiftleft(1L, zoom)")
+    two_z = two_z_l.cast("double")
+    size_mt = F.least(F.lit(metatile_scale).cast("long"), two_z_l)
+    n_axis = (two_z_l / size_mt).cast("long")
+    mt_merc = F.lit(WORLD) * size_mt.cast("double") / two_z
+    tile_merc = F.lit(WORLD) / two_z
+    # clip-buffer in mercator units + one tile unit of rounding slack
+    buf_m = tile_merc * F.lit((buffer_px * 16 + 1) / 4096.0)
+
+    def clamp(c):
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(c.cast("long"), n_axis - 1))
+
+    mx0 = clamp(F.floor((F.col("xmin") - buf_m + F.lit(MERC_MAX)) / mt_merc))
+    mx1 = clamp(F.floor((F.col("xmax") + buf_m + F.lit(MERC_MAX)) / mt_merc))
+    my0 = clamp(F.floor((F.lit(MERC_MAX) - (F.col("ymax") + buf_m)) / mt_merc))
+    my1 = clamp(F.floor((F.lit(MERC_MAX) - (F.col("ymin") - buf_m)) / mt_merc))
+
+    return (df
+            .withColumn("mtx", F.explode(F.sequence(mx0, mx1)))
+            .withColumn("mty", F.explode(F.sequence(my0, my1))))
+
+
+def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
+                   global_maxzoom: int, metatile_scale: int = 8,
+                   epsilon: int = 8) -> DataFrame:
+    """Per-feature dataflow G2→G16 (lib.rs:559-728) in one Arrow pass.
+
+    Input: (zoom, mtx, mty, way, feature_id, props...).
+    Output: (zoom, x, y, feature_id, geom, props...) — one row per
+    (feature, tile) piece, geometry in tile-local i32 coords serialized as
+    WKB (exact: |coord| < 2^53)."""
+    props = _prop_columns(covered,
+                          exclude=("way", "feature_id", "zoom", "mtx", "mty",
+                                   "xmin", "ymin", "xmax", "ymax"))
+    prop_names = [p[0] for p in props]
+    out_fields = ["zoom int", "x long", "y long", "feature_id long",
+                  "geom binary"]
+    for name, dt in props:
+        out_fields.append(f"{name} {dt.simpleString()}")
+    out_schema = ", ".join(out_fields)
+    buffer_units = buffer_px * 16  # lib.rs:508
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = {k: [] for k in
+                    ["zoom", "x", "y", "feature_id", "geom"] + prop_names}
+            for row in pdf.itertuples(index=False):
+                zoom = int(row.zoom)
+                size_mt = min(metatile_scale, 1 << zoom)
+                mtx = int(row.mtx)
+                mty = int(row.mty)
+                x0t = mtx * size_mt
+                y0t = mty * size_mt
+                n = 1 << zoom
+                minx = x0t / n * WORLD - MERC_MAX
+                maxx = (x0t + size_mt) / n * WORLD - MERC_MAX
+                maxy = MERC_MAX - y0t / n * WORLD
+                miny = MERC_MAX - (y0t + size_mt) / n * WORLD
+                extent = 4096.0 * size_mt
+                try:
+                    geom = wkb_to_geom(bytes(row.way))
+                except ValueError:
+                    continue
+                geom = remap_geometry(geom, minx, maxx, miny, maxy, extent)
+                if geom is None:
+                    continue
+                geom = remove_unneeded_points(geom)
+                if geom is None:
+                    continue
+                if zoom < global_maxzoom:  # O5 (lib.rs:615-622)
+                    geom = simplify(geom, epsilon)
+                    if geom is None:
+                        continue
+                geom = clip_to_bbox(geom, -buffer_units, -buffer_units,
+                                    int(extent) + buffer_units,
+                                    int(extent) + buffer_units)
+                if geom is None:
+                    continue
+                pieces = clip_geometry_to_tiles(geom, size_mt, x0t, y0t,
+                                                buffer_units)
+                for (tx, ty), piece in pieces:
+                    piece = make_valid(piece)
+                    if piece is None:
+                        continue
+                    if not is_valid(piece):  # lib.rs:697-703
+                        continue
+                    piece = ensure_polygon_orientation(piece)
+                    piece = _shift_geom(piece, (tx - x0t) * 4096,
+                                        (ty - y0t) * 4096)
+                    rows["zoom"].append(zoom)
+                    rows["x"].append(tx)
+                    rows["y"].append(ty)
+                    rows["feature_id"].append(int(row.feature_id))
+                    rows["geom"].append(geom_to_wkb(piece))
+                    for p in prop_names:
+                        rows[p].append(getattr(row, p))
+            if rows["zoom"]:
+                yield pd.DataFrame(rows)
+
+    return covered.mapInPandas(run, schema=out_schema)
+
+
+def _int_geom(geom):
+    """WKB floats -> exact int coords."""
+    typ, data = geom
+    if typ == "Point":
+        return (typ, (int(data[0]), int(data[1])))
+    if typ in ("MultiPoint", "LineString"):
+        return (typ, [(int(x), int(y)) for x, y in data])
+    if typ in ("MultiLineString", "Polygon"):
+        return (typ, [[(int(x), int(y)) for x, y in part] for part in data])
+    return (typ, [[[(int(x), int(y)) for x, y in r] for r in rings]
+                  for rings in data])
+
+
+def encode_layers(pieces: DataFrame, layer_id: str, prop_types: dict,
+                  layer_order: int, salt_zoom_max: int = 4,
+                  n_salts: int = 16) -> DataFrame:
+    """A1: salted partial layer encode + merge. Canonical feature order is
+    (salt, feature_id) — partitioning-independent, so tile bytes are
+    deterministic at any parallelism (O9/O13)."""
+    salted = pieces.withColumn(
+        "salt",
+        F.when(F.col("zoom") <= F.lit(salt_zoom_max),
+               F.pmod(F.col("feature_id"), F.lit(n_salts)).cast("int"))
+        .otherwise(F.lit(0)))
+
+    prop_names = list(prop_types.keys())
+
+    def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_id", kind="mergesort")
+        enc = mvt.LayerEncoder(layer_id)
+        for row in pdf.itertuples(index=False):
+            geom = _int_geom(wkb_to_geom(bytes(row.geom)))
+            properties = {}
+            for p in prop_names:
+                v = getattr(row, p)
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    properties[p] = None
+                else:
+                    t = prop_types[p]
+                    if isinstance(t, FloatType):
+                        properties[p] = ("f32", float(v))
+                    elif isinstance(t, (LongType, IntegerType)):
+                        properties[p] = int(v)
+                    elif isinstance(t, BooleanType):
+                        properties[p] = bool(v)
+                    elif isinstance(t, DoubleType):
+                        properties[p] = float(v)
+                    else:
+                        properties[p] = str(v)
+            enc.add_feature(geom, properties)
+        head = pdf.iloc[0]
+        return pd.DataFrame({
+            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
+            "salt": [int(head.salt)],
+            "layer_order": [layer_order],
+            "layer": [layer_id],
+            "part": [enc.to_bytes()],
+        })
+
+    partial_schema = ("zoom int, x long, y long, salt int, layer_order int, "
+                      "layer string, part binary")
+    partials = (salted
+                .groupBy("zoom", "x", "y", "salt")
+                .applyInPandas(encode_partial, schema=partial_schema))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt", kind="mergesort")
+        merged = mvt.merge_partial_layers([bytes(b) for b in pdf["part"]])
+        head = pdf.iloc[0]
+        return pd.DataFrame({
+            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
+            "layer_order": [layer_order], "layer": [layer_id],
+            "layer_bytes": [merged],
+        })
+
+    merged_schema = ("zoom int, x long, y long, layer_order int, "
+                     "layer string, layer_bytes binary")
+    return (partials
+            .groupBy("zoom", "x", "y")
+            .applyInPandas(merge, schema=merged_schema))
+
+
+def assemble_tiles(layer_df: DataFrame, compress: bool = True) -> DataFrame:
+    """A2: zip per-layer messages into per-tile MVT tiles + gzip + md5
+    (content-address for O12 dedup, fileio.rs:136-148)."""
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["layer_order", "layer"], kind="mergesort")
+        tile = mvt.encode_tile([bytes(b) for b in pdf["layer_bytes"]],
+                               compress=compress)
+        head = pdf.iloc[0]
+        return pd.DataFrame({
+            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
+            "tile": [tile],
+            "tile_md5": [hashlib.md5(tile).hexdigest()],
+        })
+
+    schema = "zoom int, x long, y long, tile binary, tile_md5 string"
+    return (layer_df
+            .groupBy("zoom", "x", "y")
+            .applyInPandas(assemble, schema=schema))
+
+
+def empty_tile_bytes(layers: Layers, zoom: int, compress: bool = True) -> bytes:
+    """Constant bytes of a tile with only empty layer shells for this zoom
+    (the reference emits every tile of the pyramid; identical empties
+    md5-dedup in the sink)."""
+    lb = [mvt.encode_layer(l.id, []) for l in layers.layers_for_zoom(zoom)]
+    return mvt.encode_tile(lb, compress=compress)
+
+
+def tile_driver(spark: SparkSession, zoom: int) -> DataFrame:
+    """S6: all (zoom, x, y) keys of one pyramid level, generated without a
+    shuffle from spark.range (lib.rs:186-220 equivalent)."""
+    n = 1 << zoom
+    return (spark.range(n * n)
+            .select(F.lit(zoom).cast("int").alias("zoom"),
+                    (F.col("id") / n).cast("long").alias("x"),
+                    F.pmod(F.col("id"), F.lit(n)).cast("long").alias("y")))
+
+
+def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
+                layers: Layers, minzoom: int, maxzoom: int, *,
+                metatile_scale: int = 8, salt_zoom_max: int = 4,
+                n_salts: int = 16, compress: bool = True,
+                include_empty: bool = False,
+                done_keys: Optional[DataFrame] = None) -> DataFrame:
+    """Entry point 1 (lib.rs:177-310): full pyramid as one lazy plan.
+
+    sources: source name -> features DataFrame with `way` (WKB 3857 binary)
+    + `feature_id` (stable long) + property columns.
+    done_keys: optional (zoom, x, y) DataFrame of already-written tiles;
+    anti-joined away for checkpoint resume (S11).
+    """
+    zooms = list(range(minzoom, maxzoom + 1))
+    per_layer = []
+    for order, layer in enumerate(layers.layers):
+        src = sources[layer.source]
+        if "feature_id" not in src.columns:
+            src = src.withColumn("feature_id",
+                                 F.xxhash64(F.col("way")))
+        feats = with_bbox(src)
+        layer_zooms = [z for z in zooms
+                       if layer.minzoom <= z <= min(layer.maxzoom,
+                                                    layers.global_maxzoom)]
+        if not layer_zooms:
+            continue
+        covered = cover_metatiles(feats, layer_zooms, layer.buffer,
+                                  metatile_scale)
+        pieces = geometry_stage(covered, layer.id, layer.buffer,
+                                layers.global_maxzoom, metatile_scale)
+        if done_keys is not None:
+            # resume anti-join (S11); AQE picks broadcast vs shuffle by size
+            pieces = pieces.join(done_keys, on=["zoom", "x", "y"],
+                                 how="left_anti")
+        prop_types = dict(_prop_columns(
+            src, exclude=("way", "feature_id")))
+        per_layer.append(encode_layers(pieces, layer.id, prop_types, order,
+                                       salt_zoom_max, n_salts))
+
+    layer_df = per_layer[0]
+    for other in per_layer[1:]:
+        layer_df = layer_df.unionByName(other)
+
+    tiles = assemble_tiles(layer_df, compress=compress)
+
+    if include_empty:
+        full = None
+        for z in zooms:
+            drv = tile_driver(spark, z)
+            full = drv if full is None else full.unionByName(drv)
+        eb = {z: empty_tile_bytes(layers, z, compress) for z in zooms}
+        empty_col = F.lit(bytearray(eb[zooms[0]]))
+        for z in zooms[1:]:
+            empty_col = F.when(F.col("zoom") == z,
+                               F.lit(bytearray(eb[z]))).otherwise(empty_col)
+        md5_col = F.lit(hashlib.md5(eb[zooms[0]]).hexdigest())
+        for z in zooms[1:]:
+            md5_col = F.when(F.col("zoom") == z,
+                             F.lit(hashlib.md5(eb[z]).hexdigest())) \
+                .otherwise(md5_col)
+        empties = (full.join(tiles.select("zoom", "x", "y"),
+                             on=["zoom", "x", "y"], how="left_anti")
+                   .withColumn("tile", empty_col)
+                   .withColumn("tile_md5", md5_col))
+        if done_keys is not None:
+            empties = empties.join(done_keys, on=["zoom", "x", "y"],
+                                   how="left_anti")
+        tiles = tiles.unionByName(empties)
+
+    return tiles

@@ -191,3 +191,144 @@ def encode_tile(layer_bytes_list, compress: bool = True) -> bytes:
     if compress:
         return gzip.compress(tile, compresslevel=6, mtime=0)
     return tile
+
+
+# ------------------------------------------------------------------ decoder
+# Minimal layer parser used by the salted-skew merge path: partial layers
+# encoded on different executors are merged into one layer by re-interning
+# keys/values and remapping feature tags. Feature geometry bytes pass
+# through untouched (the MVT cursor resets per feature).
+
+def _read_varint(buf, pos):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf):
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 0x7
+        if wire == 2:
+            length, pos = _read_varint(buf, pos)
+            yield field, buf[pos:pos + length]
+            pos += length
+        elif wire == 0:
+            v, pos = _read_varint(buf, pos)
+            yield field, v
+        elif wire == 5:
+            yield field, buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield field, buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+
+
+def _decode_value(buf):
+    import struct
+    for field, payload in _iter_fields(buf):
+        if field == 1:
+            return payload.decode("utf-8")
+        if field == 2:
+            return ("f32", struct.unpack("<f", payload)[0])
+        if field == 3:
+            return struct.unpack("<d", payload)[0]
+        if field == 4:
+            v = payload
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 7:
+            return bool(payload)
+    raise ValueError("empty MVT value")
+
+
+def decode_layer(buf):
+    """Parse a layer message -> dict(name, extent, keys, values, features)
+    where features = [(type_code, tags list, geometry varint payload)]."""
+    name = None
+    extent = 4096
+    keys, values, features = [], [], []
+    for field, payload in _iter_fields(buf):
+        if field == 1:
+            name = payload.decode("utf-8")
+        elif field == 5:
+            extent = payload
+        elif field == 3:
+            keys.append(payload.decode("utf-8"))
+        elif field == 4:
+            values.append(_decode_value(payload))
+        elif field == 2:
+            ftype, tags, geom = 0, [], b""
+            fid = None
+            for ff, pp in _iter_fields(payload):
+                if ff == 1:
+                    fid = pp
+                elif ff == 2:
+                    pos = 0
+                    while pos < len(pp):
+                        v, pos = _read_varint(pp, pos)
+                        tags.append(v)
+                elif ff == 3:
+                    ftype = pp
+                elif ff == 4:
+                    geom = pp
+            features.append((ftype, tags, geom, fid))
+    return {"name": name, "extent": extent, "keys": keys,
+            "values": values, "features": features}
+
+
+def merge_partial_layers(partials):
+    """Merge several partial encodings of the SAME layer (ordered list of
+    layer-message bytes) into one layer message. Deterministic given input
+    order; used to break (z,x,y) hot-tile skew (SURVEY.md §4 O13)."""
+    if len(partials) == 1:
+        return partials[0]
+    first = decode_layer(partials[0])
+    out_keys, out_vals = [], []
+    key_idx, val_idx = {}, {}
+    body = _tag(15, 0) + _varint(2)
+    body += _len_delim(1, first["name"].encode("utf-8"))
+    feature_frames = []
+    for pb in partials:
+        lay = decode_layer(pb)
+        kmap = []
+        for k in lay["keys"]:
+            if k not in key_idx:
+                key_idx[k] = len(out_keys)
+                out_keys.append(k)
+            kmap.append(key_idx[k])
+        vmap = []
+        for v in lay["values"]:
+            vk = (type(v).__name__, v)
+            if vk not in val_idx:
+                val_idx[vk] = len(out_vals)
+                out_vals.append(v)
+            vmap.append(val_idx[vk])
+        for ftype, tags, geom, fid in lay["features"]:
+            new_tags = []
+            for i in range(0, len(tags), 2):
+                new_tags.append(kmap[tags[i]])
+                new_tags.append(vmap[tags[i + 1]])
+            fbody = b""
+            if new_tags:
+                fbody += _len_delim(2, b"".join(_varint(t) for t in new_tags))
+            fbody += _tag(3, 0) + _varint(ftype)
+            fbody += _len_delim(4, geom)
+            feature_frames.append(fbody)
+    for f in feature_frames:
+        body += _len_delim(2, f)
+    for k in out_keys:
+        body += _len_delim(3, k.encode("utf-8"))
+    for v in out_vals:
+        body += _len_delim(4, _encode_value(v))
+    body += _tag(5, 0) + _varint(first["extent"])
+    return body
