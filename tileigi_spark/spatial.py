@@ -1,0 +1,125 @@
+"""Spatial joins: point-in-polygon (J4) and kNN via cell-ring expansion
+(J5). Both use the grid-cell equi-join prefilter from index.py so the
+heavy lifting is a native hash join; Python only runs the exact refine on
+the (much smaller) candidate set, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import BooleanType
+
+from .engine import with_bbox
+from .geom.wkb import wkb_to_geom
+from .index import cell_col, cell_xy_cols, bbox_cover_cells, disk_cells
+
+
+def _point_in_rings(px, py, rings) -> bool:
+    """Even-odd PIP over polygon rings (holes included by parity)."""
+    crossings = 0
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            if (y1 > py) == (y2 > py):
+                continue
+            xc = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if xc > px:
+                crossings += 1
+    return crossings % 2 == 1
+
+
+def point_in_polygon(px, py, geom) -> bool:
+    typ, data = geom
+    if typ == "Polygon":
+        return _point_in_rings(px, py, data)
+    if typ == "MultiPolygon":
+        return any(_point_in_rings(px, py, rings) for rings in data)
+    return False
+
+
+@F.pandas_udf(BooleanType())
+def _pip_refine(px: pd.Series, py: pd.Series, way: pd.Series) -> pd.Series:
+    out = []
+    cache = {}
+    for x, y, w in zip(px, py, way):
+        wb = bytes(w)
+        g = cache.get(wb)
+        if g is None:
+            g = wkb_to_geom(wb)
+            cache[wb] = g
+        out.append(point_in_polygon(float(x), float(y), g))
+    return pd.Series(out)
+
+
+def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
+                          index_zoom: int = 7,
+                          px_col: str = "mx", py_col: str = "my") -> DataFrame:
+    """J4: points(… mx, my mercator columns) ⋈ polygons(… way WKB).
+
+    Plan: polygons explode to bbox cover cells (narrow) → equi hash join on
+    cell with points (single shuffle, AQE skew-aware) → exact even-odd
+    refine in an Arrow UDF. Returns matched rows with all columns of both
+    inputs (point columns first)."""
+    polys = with_bbox(polygons)
+    polys_cells = bbox_cover_cells(polys, index_zoom) \
+        .drop("xmin", "ymin", "xmax", "ymax")
+    pts = points.withColumn("cell",
+                            cell_col(F.col(px_col), F.col(py_col), index_zoom))
+    joined = pts.join(polys_cells, on="cell", how="inner").drop("cell")
+    return joined.filter(_pip_refine(F.col(px_col), F.col(py_col),
+                                     F.col("way")))
+
+
+def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
+             index_zoom: int = 6, query_id: str = "query_id",
+             cand_id: str = "cand_id",
+             qx: str = "qx", qy: str = "qy",
+             cx: str = "cx", cy: str = "cy",
+             max_radius: int = 64) -> DataFrame:
+    """J5: k nearest candidates per query by planar 3857 distance.
+
+    Cell-ring expansion: radius starts at 1 cell and doubles (driver loop)
+    for queries still short of k candidates; each round is a cell equi-join
+    + window top-k. Deterministic tie-break by (distance², cand_id).
+    """
+    qcx, qcy = cell_xy_cols(F.col(qx), F.col(qy), index_zoom)
+    q = queries.withColumn("_qcx", qcx).withColumn("_qcy", qcy)
+    cands = candidates.withColumn(
+        "cell", cell_col(F.col(cx), F.col(cy), index_zoom))
+
+    n = 1 << index_zoom
+    remaining = q
+    results = None
+    radius = 1
+    while radius <= max(max_radius, n):
+        exploded = disk_cells(remaining, "_qcx", "_qcy", radius, index_zoom)
+        joined = exploded.join(cands, on="cell", how="inner")
+        dist2 = ((F.col(qx) - F.col(cx)) ** 2 + (F.col(qy) - F.col(cy)) ** 2)
+        w = Window.partitionBy(query_id).orderBy(dist2.asc(),
+                                                 F.col(cand_id).asc())
+        ranked = (joined
+                  .withColumn("dist2", dist2)
+                  .withColumn("knn_rank", F.row_number().over(w))
+                  .filter(F.col("knn_rank") <= k))
+        # queries fully satisfied AND whose k-th neighbor is provably
+        # inside the ring (distance <= radius*cell_span) are final;
+        # conservative: require kth_dist < radius * span (ring guarantee)
+        span = (2.0 * 20037508.342789244) / n
+        safe_d = (radius * span) ** 2
+        kth = ranked.groupBy(query_id).agg(
+            F.max("dist2").alias("kth_d"), F.count("*").alias("cnt"))
+        done_q = kth.filter((F.col("cnt") >= k) & (F.col("kth_d") <= safe_d)) \
+            .select(query_id)
+        batch = ranked.join(done_q, on=query_id, how="inner") \
+            .drop("_qcx", "_qcy", "cell")
+        results = batch if results is None else results.unionByName(batch)
+        remaining = remaining.join(done_q, on=query_id, how="left_anti")
+        if radius >= n:
+            break
+        if remaining.isEmpty():
+            break
+        radius *= 2
+    return results
