@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship north-star pipeline (geotag pages ->
+build MVT pyramid). `queries()` exposes one entry per implemented operator
+from SURVEY.md §2 + the training-data operators; `oracle_sql()` gives the
+DuckDB-equivalent ANSI SQL. Column names and arithmetic are mirrored
+exactly between both sides (pure +,-,*,/,% double math — no libm — so the
+value hashes match bit-for-bit).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+MERC = 20037508.342789244
+WORLD = 2.0 * MERC  # 40075016.68557849
+_R_MERC = repr(MERC)
+_R_WORLD = repr(WORLD)
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mercator points derived from documents.doc_id using
+    only integer + double arithmetic (mirrored in SQL oracles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mx = ((F.col("doc_id") * 7919) % 100000).cast("double") / 100000.0
+    my = ((F.col("doc_id") * 104729) % 100000).cast("double") / 100000.0
+    return (docs.select(
+        "doc_id", "text", "lang",
+        ((mx - 0.5) * WORLD).alias("mx"),
+        ((my - 0.5) * (WORLD * 0.9)).alias("my")))
+
+
+_DOC_POINTS_SQL = f"""
+    SELECT doc_id, text, lang,
+      (CAST((doc_id * 7919) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+        * {_R_WORLD} AS mx,
+      (CAST((doc_id * 104729) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+        * ({_R_WORLD} * 0.9) AS my
+    FROM documents
+"""
+
+
+def _key_points_sql(table: str, key: str, mul1: int, mul2: int) -> str:
+    return f"""
+      SELECT {key},
+        (CAST(({key} * {mul1}) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+          * {_R_WORLD} AS mx,
+        (CAST(({key} * {mul2}) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+          * ({_R_WORLD} * 0.9) AS my
+      FROM {table}
+    """
+
+
+def _key_points(spark, sf_dir, table, key, mul1, mul2):
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    mx = ((F.col(key) * mul1) % 100000).cast("double") / 100000.0
+    my = ((F.col(key) * mul2) % 100000).cast("double") / 100000.0
+    return df.select(
+        key,
+        ((mx - 0.5) * WORLD).alias("mx"),
+        ((my - 0.5) * (WORLD * 0.9)).alias("my"))
+
+
+def _point_features(spark, sf_dir) -> DataFrame:
+    """documents -> WKB point features for the tile engine. mx/my doubles
+    pass through WKB exactly."""
+    import pandas as pd
+    from tileigi_spark.geom.wkb import geom_to_wkb
+
+    pts = _doc_points(spark, sf_dir).select(
+        F.col("doc_id").alias("feature_id"), "mx", "my", "lang")
+
+    def to_wkb(iterator):
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["way"] = [geom_to_wkb(("Point", (float(x), float(y))))
+                          for x, y in zip(pdf["mx"], pdf["my"])]
+            yield pdf[["feature_id", "way", "lang"]]
+
+    return pts.mapInPandas(to_wkb,
+                           schema="feature_id long, way binary, lang string")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_tile_assign(spark, sf_dir):
+    """G22: slippy tile keys at z8 by pure arithmetic; count per tile."""
+    z = 8
+    n = 1 << z
+    pts = _doc_points(spark, sf_dir)
+    u = F.floor((F.col("mx") + MERC) / WORLD * n)
+    v = F.floor((MERC - F.col("my")) / WORLD * n)
+    clamp = lambda c: F.greatest(F.lit(0), F.least(c, F.lit(n - 1)))
+    return (pts.select(clamp(u).cast("long").alias("x"),
+                       clamp(v).cast("long").alias("y"))
+            .groupBy("x", "y").agg(F.count("*").alias("n"))
+            .orderBy("x", "y"))
+
+
+_TILE_ASSIGN_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL})
+SELECT
+  GREATEST(0, LEAST(CAST(FLOOR((mx + {_R_MERC}) / {_R_WORLD} * 256) AS BIGINT), 255)) AS x,
+  GREATEST(0, LEAST(CAST(FLOOR(({_R_MERC} - my) / {_R_WORLD} * 256) AS BIGINT), 255)) AS y,
+  COUNT(*) AS n
+FROM pts GROUP BY 1, 2 ORDER BY x, y
+"""
+
+
+def _q_tile_pieces_z3(spark, sf_dir):
+    """J1+J3+G2 parity: engine cover->remap->slice on point features at z3;
+    per-tile feature-piece counts."""
+    from tileigi_spark.engine import with_bbox, cover_metatiles, geometry_stage
+
+    feats = _point_features(spark, sf_dir)
+    covered = cover_metatiles(with_bbox(feats), [3], buffer_px=0)
+    pieces = geometry_stage(covered, "docs", buffer_px=0, global_maxzoom=14)
+    return (pieces.groupBy("zoom", "x", "y")
+            .agg(F.count("*").alias("n"))
+            .orderBy("x", "y"))
+
+
+_TILE_PIECES_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+remapped AS (
+  SELECT doc_id,
+    CAST(FLOOR(((mx - (0.0 / 8.0 * {_R_WORLD} - {_R_MERC}))
+      / ((8.0 / 8.0 * {_R_WORLD} - {_R_MERC}) - (0.0 / 8.0 * {_R_WORLD} - {_R_MERC})))
+      * 32768.0 + 0.5) AS BIGINT) AS u,
+    CAST(FLOOR(((({_R_MERC} - 0.0 / 8.0 * {_R_WORLD}) - my)
+      / (({_R_MERC} - 0.0 / 8.0 * {_R_WORLD}) - ({_R_MERC} - 8.0 / 8.0 * {_R_WORLD})))
+      * 32768.0 + 0.5) AS BIGINT) AS v
+  FROM pts
+),
+fan AS (
+  SELECT doc_id,
+    UNNEST(generate_series(
+      GREATEST(0, u // 4096 - CASE WHEN u % 4096 = 0 THEN 1 ELSE 0 END),
+      LEAST(7, u // 4096))) AS tx,
+    v
+  FROM remapped WHERE u BETWEEN 0 AND 32768
+),
+fan2 AS (
+  SELECT doc_id, tx,
+    UNNEST(generate_series(
+      GREATEST(0, v // 4096 - CASE WHEN v % 4096 = 0 THEN 1 ELSE 0 END),
+      LEAST(7, v // 4096))) AS ty
+  FROM fan WHERE v BETWEEN 0 AND 32768
+)
+SELECT 3 AS zoom, tx AS x, ty AS y, COUNT(*) AS n
+FROM fan2 GROUP BY 1, 2, 3 ORDER BY x, y
+"""
+
+
+def _coord_text_cols():
+    """Shared construction of deterministic coordinate-mention text."""
+    lat_mil0 = (F.col("doc_id") * 2654435761) % 140000 - 70000
+    lon_mil0 = (F.col("doc_id") * 40503) % 360000 - 180000
+    return lat_mil0, lon_mil0
+
+
+def _mil_str(mil0):
+    a = F.abs(mil0)
+    return F.concat(F.when(mil0 < 0, F.lit("-")).otherwise(F.lit("")),
+                    F.format_string("%d.%03d", (a / 1000).cast("long"),
+                                    a % 1000))
+
+
+def _q_extract(spark, sf_dir):
+    """G21: coordinate extraction (real regex extractor on deterministic
+    text); rows with junk-only text drop; leading junk is skipped."""
+    import pandas as pd
+    from tileigi_spark.extract import extract_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    lat0, lon0 = _coord_text_cols()
+    lat_s, lon_s = _mil_str(lat0), _mil_str(lon0)
+    junk = F.when(F.col("doc_id") % 5 == 0,
+                  F.lit("junk 999.99, 720.13 then ")).otherwise(F.lit(""))
+    body = F.when(F.col("doc_id") % 9 == 0,
+                  F.lit("only junk 999.99, 720.13 here"))
+    hemi = F.concat(
+        F.format_string("%d.%03d", (F.abs(lat0) / 1000).cast("long"),
+                        F.abs(lat0) % 1000),
+        F.when(lat0 < 0, F.lit("S")).otherwise(F.lit("N")),
+        F.lit(", "),
+        F.format_string("%d.%03d", (F.abs(lon0) / 1000).cast("long"),
+                        F.abs(lon0) % 1000),
+        F.when(lon0 < 0, F.lit("W")).otherwise(F.lit("E")))
+    plain = F.concat(lat_s, F.lit(", "), lon_s)
+    mention = F.when(F.col("doc_id") % 3 == 1, hemi).otherwise(plain)
+    text = F.coalesce(body, F.concat(F.lit("page located at "), junk,
+                                     mention, F.lit(" near town")))
+    with_text = docs.withColumn("gen_text", text)
+
+    def run(iterator):
+        for pdf in iterator:
+            ext = extract_batch(pdf["gen_text"])
+            mask = ext["span"].notna()
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"][mask.values].values,
+                "span": ext["span"][mask].values,
+            })
+            if len(out):
+                yield out
+
+    return (with_text.mapInPandas(run, schema="doc_id long, span string")
+            .orderBy("doc_id"))
+
+
+_EXTRACT_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    (doc_id * 2654435761) % 140000 - 70000 AS lat0,
+    (doc_id * 40503) % 360000 - 180000 AS lon0
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 1 THEN
+    printf('%d.%03d', abs(lat0) // 1000, abs(lat0) % 1000)
+      || (CASE WHEN lat0 < 0 THEN 'S' ELSE 'N' END)
+      || ', '
+      || printf('%d.%03d', abs(lon0) // 1000, abs(lon0) % 1000)
+      || (CASE WHEN lon0 < 0 THEN 'W' ELSE 'E' END)
+  ELSE
+    (CASE WHEN lat0 < 0 THEN '-' ELSE '' END)
+      || printf('%d.%03d', abs(lat0) // 1000, abs(lat0) % 1000)
+      || ', '
+      || (CASE WHEN lon0 < 0 THEN '-' ELSE '' END)
+      || printf('%d.%03d', abs(lon0) // 1000, abs(lon0) % 1000)
+  END AS span
+FROM base
+WHERE doc_id % 9 != 0
+ORDER BY doc_id
+"""
+
+
+def _nation_boxes(spark, sf_dir):
+    """Axis-aligned mercator boxes per nation (J4 polygon side)."""
+    import pandas as pd
+    from tileigi_spark.geom.wkb import geom_to_wkb
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rows = nation.select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        nk = r["n_nationkey"]
+        col_i = nk % 6
+        rw = nk // 6
+        x0 = (col_i / 6.0 - 0.5) * WORLD + 1000.0
+        x1 = x0 + WORLD / 6.0 - 2000.0
+        y0 = (rw / 5.0 - 0.5) * (WORLD * 0.9) + 1000.0
+        y1 = y0 + (WORLD * 0.9) / 5.0 - 2000.0
+        ring = [(x0, y0), (x0, y1), (x1, y1), (x1, y0), (x0, y0)]
+        out.append((nk, geom_to_wkb(("Polygon", [ring]))))
+    return spark.createDataFrame(out, "n_nationkey int, way binary")
+
+
+_NATION_BOX_SQL = f"""
+  SELECT n_nationkey,
+    (CAST(n_nationkey % 6 AS DOUBLE) / 6.0 - 0.5) * {_R_WORLD} + 1000.0 AS x0,
+    (CAST(n_nationkey % 6 AS DOUBLE) / 6.0 - 0.5) * {_R_WORLD} + 1000.0
+      + {_R_WORLD} / 6.0 - 2000.0 AS x1,
+    (CAST(n_nationkey // 6 AS DOUBLE) / 5.0 - 0.5) * ({_R_WORLD} * 0.9)
+      + 1000.0 AS y0,
+    (CAST(n_nationkey // 6 AS DOUBLE) / 5.0 - 0.5) * ({_R_WORLD} * 0.9)
+      + 1000.0 + ({_R_WORLD} * 0.9) / 5.0 - 2000.0 AS y1
+  FROM nation
+"""
+
+
+def _q_pip(spark, sf_dir):
+    """J4: cell-prefiltered point-in-polygon join, exact even-odd refine."""
+    from tileigi_spark.spatial import point_in_polygon_join
+
+    pts = _doc_points(spark, sf_dir).select("doc_id", "mx", "my")
+    polys = _nation_boxes(spark, sf_dir)
+    joined = point_in_polygon_join(pts, polys, index_zoom=5)
+    return (joined.select("doc_id", F.col("n_nationkey").cast("long")
+                          .alias("nationkey"))
+            .orderBy("doc_id", "nationkey"))
+
+
+_PIP_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+boxes AS ({_NATION_BOX_SQL})
+SELECT p.doc_id, CAST(b.n_nationkey AS BIGINT) AS nationkey
+FROM pts p JOIN boxes b
+  ON p.mx > b.x0 AND p.mx < b.x1 AND p.my > b.y0 AND p.my < b.y1
+ORDER BY doc_id, nationkey
+"""
+
+
+def _q_knn(spark, sf_dir):
+    """J5: kNN via cell-ring expansion, k=3, supplier->customer points."""
+    from tileigi_spark.spatial import knn_join
+
+    q = _key_points(spark, sf_dir, "supplier", "s_suppkey", 8191, 524287) \
+        .select(F.col("s_suppkey").cast("long").alias("query_id"),
+                F.col("mx").alias("qx"), F.col("my").alias("qy"))
+    c = _key_points(spark, sf_dir, "customer", "c_custkey", 7919, 104729) \
+        .select(F.col("c_custkey").cast("long").alias("cand_id"),
+                F.col("mx").alias("cx"), F.col("my").alias("cy"))
+    got = knn_join(q, c, k=3, index_zoom=4)
+    return (got.select("query_id", "cand_id",
+                       F.col("knn_rank").cast("int").alias("knn_rank"))
+            .orderBy("query_id", "knn_rank"))
+
+
+_KNN_SQL = f"""
+WITH q AS ({_key_points_sql('supplier', 's_suppkey', 8191, 524287)}),
+c AS ({_key_points_sql('customer', 'c_custkey', 7919, 104729)}),
+scored AS (
+  SELECT CAST(q.s_suppkey AS BIGINT) AS query_id,
+         CAST(c.c_custkey AS BIGINT) AS cand_id,
+         (q.mx - c.mx) * (q.mx - c.mx) + (q.my - c.my) * (q.my - c.my) AS d2
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, cand_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cand_id)
+         AS INTEGER) AS knn_rank
+  FROM scored
+)
+SELECT query_id, cand_id, knn_rank FROM ranked WHERE knn_rank <= 3
+ORDER BY query_id, knn_rank
+"""
+
+
+def _derived_text():
+    return F.when(F.col("doc_id") % 10 < 3,
+                  F.concat(F.lit("duplicate-"),
+                           (F.col("doc_id") % 7).cast("string"))) \
+        .otherwise(F.col("text"))
+
+
+_DERIVED_TEXT_SQL = ("CASE WHEN doc_id % 10 < 3 THEN 'duplicate-' || "
+                     "CAST(doc_id % 7 AS VARCHAR) ELSE text END")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 groups with representative = min id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("dtext", _derived_text())
+    return (docs.groupBy(F.md5(F.col("dtext")).alias("content_md5"))
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_id"))
+            .orderBy("content_md5"))
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT md5({_DERIVED_TEXT_SQL}) AS content_md5,
+       COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY content_md5
+"""
+
+
+def _q_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs over derived variants (exact array
+    set ops, JVM-side)."""
+    from tileigi_spark.textops import word_ngrams
+
+    base = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("shared prefix tokens alpha beta gamma delta "
+                       "epsilon zeta eta theta iota kappa variant "),
+                 (F.col("doc_id") % 3).cast("string"))) \
+        .otherwise(F.col("text"))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id",
+                    F.substring(base, 1,
+                                80 + (F.col("doc_id") % 5 * 30).cast("int"))
+                    .alias("dtext")))
+    g = docs.select("doc_id",
+                    F.array_distinct(word_ngrams(F.col("dtext"), 3))
+                    .alias("grams"))
+    a = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.2)
+            .select("a", "b", "jaccard")
+            .orderBy("a", "b"))
+
+
+_JACCARD_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+    substr(CASE WHEN doc_id % 2 = 0 THEN
+             'shared prefix tokens alpha beta gamma delta epsilon zeta '
+             || 'eta theta iota kappa variant ' || CAST(doc_id % 3 AS VARCHAR)
+           ELSE text END,
+           1, 80 + CAST(doc_id % 5 AS INTEGER) * 30) AS dtext
+  FROM documents WHERE doc_id < 40
+),
+grams AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(regexp_split_to_array(trim(dtext), '\\s+')) >= 3 THEN
+      list_transform(
+        range(1, len(regexp_split_to_array(trim(dtext), '\\s+')) - 1),
+        i -> regexp_split_to_array(trim(dtext), '\\s+')[i] || ' '
+          || regexp_split_to_array(trim(dtext), '\\s+')[i+1] || ' '
+          || regexp_split_to_array(trim(dtext), '\\s+')[i+2])
+    ELSE [] END) AS g
+  FROM docs
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+    / CAST(GREATEST(len(list_distinct(list_concat(a.g, b.g))), 1) AS DOUBLE)
+    AS jaccard
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+    / CAST(GREATEST(len(list_distinct(list_concat(a.g, b.g))), 1) AS DOUBLE)
+    >= 0.2
+ORDER BY a, b
+"""
+
+
+def _q_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64 signatures; no SQL oracle —
+    rows-only check)."""
+    from tileigi_spark.dedup import minhash_dedup_pairs
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 1000)
+            .withColumn("dtext", _derived_text()))
+    return minhash_dedup_pairs(docs, text_col="dtext", threshold=0.5) \
+        .orderBy("a", "b")
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, Hamming <= 3 (rows-only check)."""
+    from tileigi_spark.dedup import simhash_near_dups
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 500)
+            .withColumn("dtext", _derived_text()))
+    return simhash_near_dups(docs, text_col="dtext", max_hamming=1) \
+        .orderBy("a", "b")
+
+
+def _q_ann(spark, sf_dir):
+    """Brute-force cosine top-k over embeddings (exact baseline)."""
+    from tileigi_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = brute_force_topk(queries, emb, k=5)
+    return got.select("query_id", "vec_id", "sim_rank") \
+        .orderBy("query_id", "sim_rank")
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])))) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS INTEGER)
+      AS sim_rank
+  FROM scored
+)
+SELECT query_id, vec_id, sim_rank FROM ranked WHERE sim_rank <= 5
+ORDER BY query_id, sim_rank
+"""
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    from tileigi_spark.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_vec")))
+    got = lsh_topk(queries, emb, k=5)
+    return got.select("query_id", "vec_id", "sim_rank") \
+        .orderBy("query_id", "sim_rank")
+
+
+def _q_lang_quality(spark, sf_dir):
+    """Text-analysis aggregates per lang: token/char sums as exact ints,
+    one final double division."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (docs
+            .select("lang", "doc_id", F.length("text").alias("n_chars"),
+                    n_tokens.alias("n_tokens"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 (F.sum("n_tokens").cast("double") /
+                  F.count("*").cast("double")).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
+_LANG_QUALITY_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
+  SUM(length(text)) AS sum_chars,
+  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_langid(spark, sf_dir):
+    """Marker-word language ID counts per guessed language."""
+    from tileigi_spark.textops import with_lang_guess
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_lang_guess(docs)
+            .groupBy("lang_guess").agg(F.count("*").alias("n"))
+            .orderBy("lang_guess"))
+
+
+_LANGID_SQL = """
+WITH scores AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\b(the|and|of|is)\\b')) AS s_en,
+    len(regexp_extract_all(text, '\\b(der|die|und|ist)\\b')) AS s_de,
+    len(regexp_extract_all(text, '\\b(el|los|que|es)\\b')) AS s_es,
+    len(regexp_extract_all(text, '\\b(le|la|et|est)\\b')) AS s_fr
+  FROM documents
+)
+SELECT lang_guess, COUNT(*) AS n FROM (
+  SELECT CASE
+    -- fold: start 'de', replace when strictly greater, order de,en,es,fr
+    WHEN s_en > s_de THEN
+      CASE WHEN s_es > s_en THEN
+             CASE WHEN s_fr > s_es THEN 'fr' ELSE 'es' END
+           ELSE CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END END
+    ELSE
+      CASE WHEN s_es > s_de THEN
+             CASE WHEN s_fr > s_es THEN 'fr' ELSE 'es' END
+           ELSE CASE WHEN s_fr > s_de THEN 'fr' ELSE 'de' END END
+    END AS lang_guess
+  FROM scores
+) GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint (Catalyst HOF aggregate)."""
+    from tileigi_spark.textops import with_fingerprint
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100)
+            .select("doc_id", F.substring("text", 1, 64).alias("text")))
+    return with_fingerprint(docs).select("doc_id", "fingerprint") \
+        .orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(substr(text, 1, 64), ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % {1 << 57}) AS fingerprint
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregate (batch form): hourly
+    counts + exact milli-sums per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 1000).cast("long"))
+                 .alias("sum_value_milli"))
+            .orderBy("hour", "event_type"))
+
+
+_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  SUM(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def _q_pricing(spark, sf_dir):
+    """Relational baseline (TPC-H Q1 shape) with exact integer cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(F.col("l_extendedprice") *
+                         (1 - F.col("l_discount")) * 100).cast("long")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(cents).alias("sum_base_cents"),
+                 F.sum(disc_cents).alias("sum_disc_cents"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS sum_disc_cents,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_tiles(spark, sf_dir):
+    """Full MVT pyramid z0-z4 over document points (rows-only check —
+    tile bytes aren't SQL-expressible)."""
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles
+
+    feats = _point_features(spark, sf_dir)
+    layers = Layers(layers=[Layer(id="docs", source="docs", minzoom=0,
+                                  maxzoom=14, buffer=2)],
+                    global_maxzoom=14)
+    tiles = build_tiles(spark, {"docs": feats}, layers, 0, 4)
+    return tiles.select("zoom", "x", "y", "tile_md5").orderBy("zoom", "x", "y")
+
+
+def _q_multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary-column image feature extraction
+    (deterministic stub codec; rows-only check)."""
+    from tileigi_spark.multimodal import image_features
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")))
+    return (image_features(docs, bin_col="blob")
+            .select("doc_id", "width", "height", "format")
+            .orderBy("doc_id"))
+
+
+# ------------------------------------------------------------ entrypoints
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotag synthetic pages -> extract coords -> build the MVT
+    pyramid z0-z4 over the geotagged points (the full north-star path)."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _q_tiles(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign": _q_tile_assign,
+        "tile_pieces_z3": _q_tile_pieces_z3,
+        "extract_coords": _q_extract,
+        "pip_join": _q_pip,
+        "knn_points": _q_knn,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_jaccard,
+        "dedup_minhash": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "ann_topk": _q_ann,
+        "ann_lsh": _q_ann_lsh,
+        "lang_quality": _q_lang_quality,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "events_hourly": _q_events_hourly,
+        "pricing_summary": _q_pricing,
+        "mvt_pyramid": _q_tiles,
+        "multimodal_features": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign": _TILE_ASSIGN_SQL,
+        "tile_pieces_z3": _TILE_PIECES_SQL,
+        "extract_coords": _EXTRACT_SQL,
+        "pip_join": _PIP_SQL,
+        "knn_points": _KNN_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_jaccard": _JACCARD_SQL,
+        "ann_topk": _ANN_SQL,
+        "lang_quality": _LANG_QUALITY_SQL,
+        "langid": _LANGID_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "events_hourly": _EVENTS_SQL,
+        "pricing_summary": _PRICING_SQL,
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
+        # ann_lsh, mvt_pyramid, multimodal_features, tile bytes
+    }

@@ -1,0 +1,217 @@
+"""Sinks + checkpoint/resume (reference fileio.rs, lib.rs:265-281 S11).
+
+Primary sink is a table written through `TileStore`, which abstracts the
+catalog: in production this is an Iceberg table (`spark.table`/`writeTo`),
+in the sandbox (no Iceberg jars baked in) a parquet path with identical
+semantics. The checkpoint protocol is storage-agnostic: finished tile keys
+are appended after each zoom-batch commit and anti-joined on restart — a
+distributed version of the reference's does_metatile_exist file probe
+(fileio.rs:62-66).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class TileStore:
+    """Content-addressed tile storage: `map` (zoom,x,y,tile_id) +
+    `images` (tile_id, tile_data) — the MBTiles schema's normalization
+    (mbtiles-schema.sql:5-83) expressed as two tables, so identical
+    (e.g. ocean) tiles are stored once (O12)."""
+
+    def __init__(self, base_path: str, use_iceberg: bool = False):
+        self.base = base_path
+        self.use_iceberg = use_iceberg
+
+    def _write(self, df: DataFrame, name: str, mode: str = "append",
+               partition_cols=()):
+        if self.use_iceberg:
+            w = df.writeTo(f"{self.base}.{name}")
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+        else:
+            w = df.write.mode(mode)
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(os.path.join(self.base, name))
+
+    def _read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        if self.use_iceberg:
+            return spark.table(f"{self.base}.{name}")
+        path = os.path.join(self.base, name)
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def write_tiles(self, tiles: DataFrame, dedup: bool = True):
+        """tiles: (zoom,x,y,tile,tile_md5)."""
+        mapping = tiles.select("zoom", "x", "y",
+                               F.col("tile_md5").alias("tile_id"))
+        self._write(mapping, "map", partition_cols=("zoom",))
+        images = tiles.select(F.col("tile_md5").alias("tile_id"),
+                              F.col("tile").alias("tile_data"))
+        if dedup:
+            images = images.dropDuplicates(["tile_id"])
+        self._write(images, "images")
+
+    def read_tiles(self, spark: SparkSession) -> DataFrame | None:
+        m = self._read(spark, "map")
+        i = self._read(spark, "images")
+        if m is None or i is None:
+            return None
+        return (m.join(i, on="tile_id")
+                .select("zoom", "x", "y",
+                        F.col("tile_data").alias("tile"),
+                        F.col("tile_id").alias("tile_md5")))
+
+    # ------------------------------------------------------ checkpointing
+
+    def done_keys(self, spark: SparkSession) -> DataFrame | None:
+        """Finished (zoom,x,y) keys for the resume anti-join (S11)."""
+        df = self._read(spark, "checkpoint")
+        if df is None:
+            return None
+        return df.select("zoom", "x", "y")
+
+    def mark_done(self, keys: DataFrame):
+        self._write(keys.select("zoom", "x", "y"), "checkpoint")
+
+    def append_metrics(self, spark: SparkSession, rows: list[dict]):
+        """Per-stage lineage/metrics rows (A3): run_id, stage, zoom batch,
+        row counts, wall seconds."""
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            [(r.get("run_id", ""), r.get("stage", ""), int(r.get("zoom", -1)),
+              int(r.get("rows", 0)), float(r.get("secs", 0.0)),
+              json.dumps(r.get("extra", {})))
+             for r in rows],
+            "run_id string, stage string, zoom int, rows long, secs double, "
+            "extra string")
+        self._write(df, "metrics")
+
+
+def run_pyramid_with_checkpoint(spark: SparkSession, store: TileStore,
+                                build_fn, zooms: list[int],
+                                run_id: str = "run") -> None:
+    """Resumable driver loop: per zoom-batch, anti-join finished keys, build,
+    write tiles, then mark keys done. A killed job rerun with the same store
+    skips completed zoom batches entirely and completed tiles within a
+    partially-finished batch."""
+    import time
+
+    done = store.done_keys(spark)
+    for zoom in zooms:
+        t0 = time.time()
+        tiles = build_fn(zoom, done)
+        if tiles is None:
+            continue
+        tiles = tiles.cache()
+        n = tiles.count()
+        if n:
+            store.write_tiles(tiles)
+            store.mark_done(tiles.select("zoom", "x", "y"))
+        store.append_metrics(spark, [{
+            "run_id": run_id, "stage": "pyramid", "zoom": zoom,
+            "rows": n, "secs": time.time() - t0,
+        }])
+        tiles.unpersist()
+        done = store.done_keys(spark)
+
+
+# ------------------------------------------------------------- exporters
+
+def export_mbtiles(tiles_rows, path: str, metadata: dict | None = None):
+    """Driver-side MBTiles writer following the reference DDL
+    (mbtiles-schema.sql:5-83; fileio.rs:96-197): `map` + `images` joined by
+    the `tiles` view, TMS y-flip (fileio.rs:138), md5-keyed blob dedup,
+    one transaction."""
+    import hashlib
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.executescript("""
+        CREATE TABLE IF NOT EXISTS map (
+           zoom_level INTEGER, tile_column INTEGER, tile_row INTEGER,
+           tile_id TEXT, grid_id TEXT );
+        CREATE TABLE IF NOT EXISTS grid_key (grid_id TEXT, key_name TEXT);
+        CREATE TABLE IF NOT EXISTS keymap (key_name TEXT, key_json TEXT);
+        CREATE TABLE IF NOT EXISTS grid_utfgrid (grid_id TEXT, grid_utfgrid BLOB);
+        CREATE TABLE IF NOT EXISTS images (tile_data blob, tile_id text);
+        CREATE TABLE IF NOT EXISTS metadata (name text, value text);
+        CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map
+            (zoom_level, tile_column, tile_row);
+        CREATE UNIQUE INDEX IF NOT EXISTS images_id ON images (tile_id);
+        CREATE UNIQUE INDEX IF NOT EXISTS name ON metadata (name);
+        CREATE VIEW IF NOT EXISTS tiles AS
+            SELECT map.zoom_level AS zoom_level,
+                   map.tile_column AS tile_column,
+                   map.tile_row AS tile_row,
+                   images.tile_data AS tile_data
+            FROM map JOIN images ON images.tile_id = map.tile_id;
+    """)
+    seen = set()
+    for row in tiles_rows:
+        z, x, y, tile = row["zoom"], row["x"], row["y"], bytes(row["tile"])
+        tile_id = row.get("tile_md5") or hashlib.md5(tile).hexdigest()
+        tms_y = (1 << z) - y - 1  # fileio.rs:138
+        if tile_id not in seen:
+            seen.add(tile_id)
+            cur.execute(
+                "INSERT OR IGNORE INTO images (tile_id, tile_data) VALUES (?, ?)",
+                (tile_id, tile))
+        cur.execute(
+            "INSERT OR REPLACE INTO map (zoom_level, tile_column, tile_row,"
+            " tile_id, grid_id) VALUES (?, ?, ?, ?, NULL)",
+            (z, x, tms_y, tile_id))
+    for k, v in (metadata or {}).items():
+        cur.execute("INSERT OR REPLACE INTO metadata (name, value)"
+                    " VALUES (?, ?)", (k, str(v)))
+    con.commit()
+    con.close()
+
+
+def export_tilestash(tiles_rows, base_dir: str, ext: str = "pbf"):
+    """TileStash directory layout z/x/y.pbf (fileio.rs:73-94)."""
+    for row in tiles_rows:
+        z, x, y = row["zoom"], row["x"], row["y"]
+        d = os.path.join(base_dir, str(z), str(x))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{y}.{ext}"), "wb") as f:
+            f.write(bytes(row["tile"]))
+
+
+def write_tilejson(layers, path: str, prop_types: dict[str, dict] | None = None):
+    """TileJSON 2.2.0 metadata with per-layer field dicts (lib.rs:371-458)."""
+    vector_layers = []
+    for layer in layers.layers:
+        fields = {}
+        for name, typ in (prop_types or {}).get(layer.id, {}).items():
+            fields[name] = typ
+        vector_layers.append({
+            "id": layer.id,
+            "minzoom": layer.minzoom,
+            "maxzoom": min(layer.maxzoom, layers.global_maxzoom),
+            "fields": fields,
+        })
+    doc = {
+        "tilejson": "2.2.0",
+        "scheme": "xyz",
+        "format": "pbf",
+        "minzoom": layers.global_minzoom,
+        "maxzoom": layers.global_maxzoom,
+        "vector_layers": vector_layers,
+    }
+    if layers.name:
+        doc["name"] = layers.name
+    if layers.bounds:
+        doc["bounds"] = list(layers.bounds)
+    if layers.center:
+        doc["center"] = list(layers.center)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
