@@ -47,12 +47,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signature per doc: shingle -> per-seed xxhash64 -> min.
     Runs entirely in Catalyst HOFs (transform + array_min) — no UDF, no
-    shuffle; the signature column is computed at scan time."""
-    grams = word_ngrams(F.col(text_col), shingle_n)
+    shuffle; the signature column is computed at scan time. The gram array
+    is materialized once so the n_hashes min-scans don't each re-tokenize
+    (keeps the codegen tree linear in n_hashes)."""
+    with_grams = df.select(
+        id_col, word_ngrams(F.col(text_col), shingle_n).alias("_grams"))
     sig = F.array(*[
-        F.array_min(F.transform(grams, lambda g, s=s: _shingle_hash(g, s)))
+        F.array_min(F.transform(F.col("_grams"),
+                                lambda g, s=s: _shingle_hash(g, s)))
         for s in range(n_hashes)])
-    return df.select(id_col, sig.alias("minhash"))
+    return with_grams.select(id_col, sig.alias("minhash"))
 
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",

@@ -159,6 +159,78 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
             .withColumn("mty", F.explode(F.sequence(my0, my1))))
 
 
+def _points_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
+                      metatile_scale: int, rows: dict) -> pd.DataFrame:
+    """Vectorized numpy pipeline for simple WKB points (the dominant case
+    for geotagged web pages). Exactly equivalent to the recursive path:
+    remap (round half away from zero), clip to the buffered bbox, and the
+    quadtree slice collapses to the closed interval
+    [t*4096 - buffer, (t+1)*4096 + buffer] per tile t (verified by the
+    fast/slow parity test). Appends output rows to `rows`."""
+    import numpy as np
+
+    ways = pdf["way"]
+    n_rows = len(pdf)
+    buf = np.frombuffer(b"".join(ways), dtype=np.uint8).reshape(n_rows, 21)
+    xs = buf[:, 5:13].copy().view(np.float64).ravel()
+    ys = buf[:, 13:21].copy().view(np.float64).ravel()
+
+    zooms = pdf["zoom"].to_numpy(np.int64)
+    mtx = pdf["mtx"].to_numpy(np.int64)
+    mty = pdf["mty"].to_numpy(np.int64)
+    size_mt = np.minimum(metatile_scale, 1 << zooms)
+    x0t = mtx * size_mt
+    y0t = mty * size_mt
+    nz = (1 << zooms).astype(np.float64)
+    minx = x0t / nz * WORLD - MERC_MAX
+    maxx = (x0t + size_mt) / nz * WORLD - MERC_MAX
+    maxy = MERC_MAX - y0t / nz * WORLD
+    miny = MERC_MAX - (y0t + size_mt) / nz * WORLD
+    extent = 4096.0 * size_mt
+
+    vx = ((xs - minx) / (maxx - minx)) * extent
+    vy = ((maxy - ys) / (maxy - miny)) * extent
+    # f64::round — half away from zero
+    u = np.where(vx >= 0, np.floor(vx + 0.5), np.ceil(vx - 0.5)).astype(np.int64)
+    v = np.where(vy >= 0, np.floor(vy + 0.5), np.ceil(vy - 0.5)).astype(np.int64)
+
+    ext_i = extent.astype(np.int64)
+    keep = ((u >= -buffer_units) & (u <= ext_i + buffer_units) &
+            (v >= -buffer_units) & (v <= ext_i + buffer_units))
+    if not keep.any():
+        return
+
+    idx = np.nonzero(keep)[0]
+    u, v = u[idx], v[idx]
+    size_mt, x0t, y0t = size_mt[idx], x0t[idx], y0t[idx]
+    zoom_k = zooms[idx]
+    fid = pdf["feature_id"].to_numpy(np.int64)[idx]
+
+    tx_lo = np.maximum(-(-(u - buffer_units) // 4096) - 1, 0)
+    tx_hi = np.minimum((u + buffer_units) // 4096, size_mt - 1)
+    ty_lo = np.maximum(-(-(v - buffer_units) // 4096) - 1, 0)
+    ty_hi = np.minimum((v + buffer_units) // 4096, size_mt - 1)
+
+    prop_vals = {p: pdf[p].to_numpy()[idx] for p in prop_names}
+    for j in range(len(idx)):
+        for tx in range(tx_lo[j], tx_hi[j] + 1):
+            for ty in range(ty_lo[j], ty_hi[j] + 1):
+                rows["zoom"].append(int(zoom_k[j]))
+                rows["x"].append(int(x0t[j] + tx))
+                rows["y"].append(int(y0t[j] + ty))
+                rows["feature_id"].append(int(fid[j]))
+                rows["geom"].append(geom_to_wkb(
+                    ("Point", (int(u[j]) - tx * 4096,
+                               int(v[j]) - ty * 4096))))
+                for p in prop_names:
+                    rows[p].append(prop_vals[p][j])
+
+
+def _is_simple_point_wkb(w) -> bool:
+    return (w is not None and len(w) == 21 and w[0] == 1
+            and w[1] == 1 and w[2] == 0 and w[3] == 0 and w[4] == 0)
+
+
 def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                    global_maxzoom: int, metatile_scale: int = 8,
                    epsilon: int = 8) -> DataFrame:
@@ -183,6 +255,12 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
         for pdf in iterator:
             rows = {k: [] for k in
                     ["zoom", "x", "y", "feature_id", "geom"] + prop_names}
+            is_pt = pdf["way"].map(_is_simple_point_wkb)
+            pts = pdf[is_pt.values]
+            if len(pts):
+                _points_fast_path(pts, prop_names, buffer_units,
+                                  metatile_scale, rows)
+            pdf = pdf[~is_pt.values]
             for row in pdf.itertuples(index=False):
                 zoom = int(row.zoom)
                 size_mt = min(metatile_scale, 1 << zoom)
@@ -252,94 +330,155 @@ def _int_geom(geom):
                   for rings in data])
 
 
-def encode_layers(pieces: DataFrame, layer_id: str, prop_types: dict,
-                  layer_order: int, salt_zoom_max: int = 4,
-                  n_salts: int = 16) -> DataFrame:
-    """A1: salted partial layer encode + merge. Canonical feature order is
-    (salt, feature_id) — partitioning-independent, so tile bytes are
-    deterministic at any parallelism (O9/O13)."""
-    salted = pieces.withColumn(
+def _mvt_value(v, t):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(t, FloatType):
+        return ("f32", float(v))
+    if isinstance(t, (LongType, IntegerType)):
+        return int(v)
+    if isinstance(t, BooleanType):
+        return bool(v)
+    if isinstance(t, DoubleType):
+        return float(v)
+    return str(v)
+
+
+def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
+                  salt_zoom_max: int = 4, n_salts: int = 16) -> DataFrame:
+    """A1: salted partial layer encode. One shuffle: repartition by
+    (zoom,x,y,salt) + sortWithinPartitions, then a mapInPandas pass that
+    walks the sorted stream and encodes one partial MVT layer message per
+    contiguous (tile, salt, layer) run — per-group overhead is amortized
+    across the whole Arrow batch (the reason this is mapInPandas and not
+    applyInPandas). Canonical feature order (salt, layer_order, feature_id)
+    is partitioning-independent, so tile bytes are deterministic at any
+    parallelism (O9/O13).
+
+    pieces: unioned per-layer outputs of geometry_stage with layer_id /
+    layer_order columns. prop_types: layer_id -> {col -> Spark type}.
+    """
+    salted = (pieces.withColumn(
         "salt",
         F.when(F.col("zoom") <= F.lit(salt_zoom_max),
                F.pmod(F.col("feature_id"), F.lit(n_salts)).cast("int"))
         .otherwise(F.lit(0)))
+        .repartition("zoom", "x", "y", "salt")
+        .sortWithinPartitions("zoom", "x", "y", "salt", "layer_order",
+                              "feature_id"))
 
-    prop_names = list(prop_types.keys())
+    all_props = sorted({p for d in prop_types.values() for p in d})
+    out_schema = ("zoom int, x long, y long, salt int, layer_order int, "
+                  "layer string, part binary")
 
-    def encode_partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("feature_id", kind="mergesort")
-        enc = mvt.LayerEncoder(layer_id)
-        for row in pdf.itertuples(index=False):
-            geom = _int_geom(wkb_to_geom(bytes(row.geom)))
-            properties = {}
-            for p in prop_names:
-                v = getattr(row, p)
-                if v is None or (isinstance(v, float) and pd.isna(v)):
-                    properties[p] = None
-                else:
-                    t = prop_types[p]
-                    if isinstance(t, FloatType):
-                        properties[p] = ("f32", float(v))
-                    elif isinstance(t, (LongType, IntegerType)):
-                        properties[p] = int(v)
-                    elif isinstance(t, BooleanType):
-                        properties[p] = bool(v)
-                    elif isinstance(t, DoubleType):
-                        properties[p] = float(v)
-                    else:
-                        properties[p] = str(v)
-            enc.add_feature(geom, properties)
-        head = pdf.iloc[0]
-        return pd.DataFrame({
-            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
-            "salt": [int(head.salt)],
-            "layer_order": [layer_order],
-            "layer": [layer_id],
-            "part": [enc.to_bytes()],
-        })
+    def run(iterator):
+        cur_key = None
+        enc = None
+        out = {k: [] for k in ("zoom", "x", "y", "salt", "layer_order",
+                               "layer", "part")}
 
-    partial_schema = ("zoom int, x long, y long, salt int, layer_order int, "
-                      "layer string, part binary")
-    partials = (salted
-                .groupBy("zoom", "x", "y", "salt")
-                .applyInPandas(encode_partial, schema=partial_schema))
+        def flush():
+            if cur_key is None:
+                return
+            z, x, y, salt, order, layer = cur_key
+            out["zoom"].append(z); out["x"].append(x); out["y"].append(y)
+            out["salt"].append(salt); out["layer_order"].append(order)
+            out["layer"].append(layer); out["part"].append(enc.to_bytes())
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("salt", kind="mergesort")
-        merged = mvt.merge_partial_layers([bytes(b) for b in pdf["part"]])
-        head = pdf.iloc[0]
-        return pd.DataFrame({
-            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
-            "layer_order": [layer_order], "layer": [layer_id],
-            "layer_bytes": [merged],
-        })
+        for pdf in iterator:
+            cols = {c: pdf[c].values for c in
+                    ("zoom", "x", "y", "salt", "layer_order", "layer",
+                     "geom")}
+            pvals = {p: pdf[p].values for p in all_props if p in pdf}
+            for i in range(len(pdf)):
+                key = (int(cols["zoom"][i]), int(cols["x"][i]),
+                       int(cols["y"][i]), int(cols["salt"][i]),
+                       int(cols["layer_order"][i]), cols["layer"][i])
+                if key != cur_key:
+                    flush()
+                    cur_key = key
+                    enc = mvt.LayerEncoder(key[5])
+                geom = _int_geom(wkb_to_geom(bytes(cols["geom"][i])))
+                ptypes = prop_types.get(key[5], {})
+                properties = {p: _mvt_value(pvals[p][i], t)
+                              for p, t in ptypes.items() if p in pvals}
+                enc.add_feature(geom, properties)
+                if len(out["zoom"]) >= 2000:
+                    yield pd.DataFrame(out)
+                    for v in out.values():
+                        v.clear()
+        flush()
+        if out["zoom"]:
+            yield pd.DataFrame(out)
 
-    merged_schema = ("zoom int, x long, y long, layer_order int, "
-                     "layer string, layer_bytes binary")
-    return (partials
-            .groupBy("zoom", "x", "y")
-            .applyInPandas(merge, schema=merged_schema))
+    return salted.mapInPandas(run, schema=out_schema)
 
 
-def assemble_tiles(layer_df: DataFrame, compress: bool = True) -> DataFrame:
-    """A2: zip per-layer messages into per-tile MVT tiles + gzip + md5
-    (content-address for O12 dedup, fileio.rs:136-148)."""
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["layer_order", "layer"], kind="mergesort")
-        tile = mvt.encode_tile([bytes(b) for b in pdf["layer_bytes"]],
-                               compress=compress)
-        head = pdf.iloc[0]
-        return pd.DataFrame({
-            "zoom": [int(head.zoom)], "x": [int(head.x)], "y": [int(head.y)],
-            "tile": [tile],
-            "tile_md5": [hashlib.md5(tile).hexdigest()],
-        })
+def assemble_tiles(partials: DataFrame, compress: bool = True) -> DataFrame:
+    """A2: merge salted partials per layer and zip layer messages into
+    per-tile MVT tiles + gzip + md5 (content-address for O12 dedup,
+    fileio.rs:136-148). One shuffle: repartition (zoom,x,y) + sorted
+    mapInPandas walk."""
+    ordered = (partials
+               .repartition("zoom", "x", "y")
+               .sortWithinPartitions("zoom", "x", "y", "layer_order",
+                                     "layer", "salt"))
 
     schema = "zoom int, x long, y long, tile binary, tile_md5 string"
-    return (layer_df
-            .groupBy("zoom", "x", "y")
-            .applyInPandas(assemble, schema=schema))
+
+    def run(iterator):
+        cur_tile = None
+        cur_layer = None
+        layer_parts = []   # partials of current layer
+        layer_bytes = []   # finished layer messages of current tile
+        out = {k: [] for k in ("zoom", "x", "y", "tile", "tile_md5")}
+
+        def flush_layer():
+            nonlocal layer_parts
+            if layer_parts:
+                layer_bytes.append(mvt.merge_partial_layers(layer_parts))
+                layer_parts = []
+
+        def flush_tile():
+            nonlocal layer_bytes
+            flush_layer()
+            if cur_tile is None:
+                return
+            tile = mvt.encode_tile(layer_bytes, compress=compress)
+            out["zoom"].append(cur_tile[0])
+            out["x"].append(cur_tile[1])
+            out["y"].append(cur_tile[2])
+            out["tile"].append(tile)
+            out["tile_md5"].append(hashlib.md5(tile).hexdigest())
+            layer_bytes = []
+
+        for pdf in iterator:
+            zs = pdf["zoom"].values
+            xs = pdf["x"].values
+            ys = pdf["y"].values
+            lo = pdf["layer_order"].values
+            ly = pdf["layer"].values
+            parts = pdf["part"].values
+            for i in range(len(pdf)):
+                tile_key = (int(zs[i]), int(xs[i]), int(ys[i]))
+                layer_key = (int(lo[i]), ly[i])
+                if tile_key != cur_tile:
+                    flush_tile()
+                    cur_tile = tile_key
+                    cur_layer = None
+                if layer_key != cur_layer:
+                    flush_layer()
+                    cur_layer = layer_key
+                layer_parts.append(bytes(parts[i]))
+                if len(out["zoom"]) >= 2000:
+                    yield pd.DataFrame(out)
+                    for v in out.values():
+                        v.clear()
+        flush_tile()
+        if out["zoom"]:
+            yield pd.DataFrame(out)
+
+    return ordered.mapInPandas(run, schema=schema)
 
 
 def empty_tile_bytes(layers: Layers, zoom: int, compress: bool = True) -> bytes:
@@ -375,6 +514,7 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
     """
     zooms = list(range(minzoom, maxzoom + 1))
     per_layer = []
+    prop_types: dict[str, dict] = {}
     for order, layer in enumerate(layers.layers):
         src = sources[layer.source]
         if "feature_id" not in src.columns:
@@ -394,16 +534,18 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
             # resume anti-join (S11); AQE picks broadcast vs shuffle by size
             pieces = pieces.join(done_keys, on=["zoom", "x", "y"],
                                  how="left_anti")
-        prop_types = dict(_prop_columns(
+        prop_types[layer.id] = dict(_prop_columns(
             src, exclude=("way", "feature_id")))
-        per_layer.append(encode_layers(pieces, layer.id, prop_types, order,
-                                       salt_zoom_max, n_salts))
+        per_layer.append(pieces
+                         .withColumn("layer", F.lit(layer.id))
+                         .withColumn("layer_order", F.lit(order)))
 
-    layer_df = per_layer[0]
+    all_pieces = per_layer[0]
     for other in per_layer[1:]:
-        layer_df = layer_df.unionByName(other)
+        all_pieces = all_pieces.unionByName(other, allowMissingColumns=True)
 
-    tiles = assemble_tiles(layer_df, compress=compress)
+    partials = encode_layers(all_pieces, prop_types, salt_zoom_max, n_salts)
+    tiles = assemble_tiles(partials, compress=compress)
 
     if include_empty:
         full = None

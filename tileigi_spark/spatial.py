@@ -109,6 +109,12 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         # conservative: require kth_dist < radius * span (ring guarantee)
         span = (2.0 * 20037508.342789244) / n
         safe_d = (radius * span) ** 2
+        if radius >= n:
+            # disk covers the whole grid: everything found is final
+            batch = ranked.drop("_qcx", "_qcy", "cell").localCheckpoint()
+            results = batch if results is None else results.unionByName(batch)
+            break
+        ranked = ranked.localCheckpoint()  # truncate per-round lineage
         kth = ranked.groupBy(query_id).agg(
             F.max("dist2").alias("kth_d"), F.count("*").alias("cnt"))
         done_q = kth.filter((F.col("cnt") >= k) & (F.col("kth_d") <= safe_d)) \
@@ -116,9 +122,8 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         batch = ranked.join(done_q, on=query_id, how="inner") \
             .drop("_qcx", "_qcy", "cell")
         results = batch if results is None else results.unionByName(batch)
-        remaining = remaining.join(done_q, on=query_id, how="left_anti")
-        if radius >= n:
-            break
+        remaining = remaining.join(done_q, on=query_id, how="left_anti") \
+            .localCheckpoint()
         if remaining.isEmpty():
             break
         radius *= 2
