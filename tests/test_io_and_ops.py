@@ -1,0 +1,254 @@
+"""Tests: TileStore checkpoint/resume, MBTiles export, config readers,
+text/dedup/similarity operators."""
+
+import gzip
+import os
+import sqlite3
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ io
+
+def _tiny_tiles(spark):
+    rows = [(0, 0, 0, b"tile-a", "md5a"),
+            (1, 0, 0, b"tile-b", "md5b"),
+            (1, 1, 0, b"tile-b", "md5b")]  # duplicate blob
+    return spark.createDataFrame(
+        rows, "zoom int, x long, y long, tile binary, tile_md5 string")
+
+
+def test_tilestore_roundtrip_and_checkpoint(spark, tmp_path):
+    from tileigi_spark.io import TileStore
+
+    store = TileStore(str(tmp_path / "store"))
+    tiles = _tiny_tiles(spark)
+    store.write_tiles(tiles)
+    store.mark_done(tiles.select("zoom", "x", "y"))
+
+    back = store.read_tiles(spark)
+    got = {(r["zoom"], r["x"], r["y"]): bytes(r["tile"])
+           for r in back.collect()}
+    assert got[(0, 0, 0)] == b"tile-a"
+    assert got[(1, 1, 0)] == b"tile-b"
+    # dedup: images table holds 2 blobs for 3 tiles
+    import glob
+    images = spark.read.parquet(str(tmp_path / "store" / "images"))
+    assert images.count() == 2
+
+    done = store.done_keys(spark)
+    assert done.count() == 3
+
+
+def test_resume_skips_done(spark, tmp_path):
+    from tileigi_spark.io import TileStore, run_pyramid_with_checkpoint
+
+    store = TileStore(str(tmp_path / "ck"))
+    calls = []
+
+    def build(zoom, done):
+        calls.append(zoom)
+        df = _tiny_tiles(spark).filter(F.col("zoom") == zoom)
+        if done is not None:
+            df = df.join(done, on=["zoom", "x", "y"], how="left_anti")
+        return df
+
+    run_pyramid_with_checkpoint(spark, store, build, [0, 1])
+    assert store.done_keys(spark).count() == 3
+    # rerun: anti-join leaves nothing new; checkpoint unchanged
+    run_pyramid_with_checkpoint(spark, store, build, [0, 1])
+    assert store.done_keys(spark).count() == 3
+    n_tiles = spark.read.parquet(str(tmp_path / "ck" / "map")).count()
+    assert n_tiles == 3  # no duplicates written on resume
+
+
+def test_mbtiles_export(spark, tmp_path):
+    from tileigi_spark.io import export_mbtiles
+
+    path = str(tmp_path / "out.mbtiles")
+    export_mbtiles([r.asDict() for r in _tiny_tiles(spark).collect()],
+                   path, metadata={"name": "t"})
+    con = sqlite3.connect(path)
+    n_img = con.execute("select count(*) from images").fetchone()[0]
+    assert n_img == 2  # md5 dedup
+    # TMS y flip: (z=1, y=0) -> row 1
+    rows = con.execute(
+        "select tile_row from map where zoom_level=1 and tile_column=0"
+    ).fetchall()
+    assert rows == [(1,)]
+    # the tiles view joins back
+    t = con.execute("select tile_data from tiles where zoom_level=0"
+                    ).fetchone()[0]
+    assert bytes(t) == b"tile-a"
+
+
+def test_config_readers(tmp_path):
+    from tileigi_spark.config import layers_from_file
+
+    yml = tmp_path / "layers.yml"
+    yml.write_text("""
+minzoom: 0
+maxzoom: 14
+Layer:
+  - id: water
+    properties: {minzoom: 0, maxzoom: 9, buffer-size: 2}
+    Datasource: {table: water_src}
+  - id: poi
+    properties: {minzoom: 10, buffer-size: 0}
+    Datasource: {table: poi_src}
+""")
+    layers = layers_from_file(str(yml))
+    assert [l.id for l in layers.layers] == ["water", "poi"]
+    assert layers.layers[0].buffer == 2
+    assert layers.layers[0].maxzoom == 9
+    assert [l.id for l in layers.layers_for_zoom(9)] == ["water"]
+    assert [l.id for l in layers.layers_for_zoom(10)] == ["poi"]
+
+    toml = tmp_path / "config.toml"
+    toml.write_text("""
+[[providers]]
+name = "pg"
+  [[providers.layers]]
+  name = "roads"
+  tablename = "roads_src"
+  buffer = 4
+
+[[maps]]
+name = "osm"
+  [[maps.layers]]
+  provider_layer = "pg.roads"
+  min_zoom = 5
+  max_zoom = 14
+""")
+    layers = layers_from_file(str(toml))
+    assert layers.layers[0].id == "roads"
+    assert layers.layers[0].source == "roads_src"
+    assert layers.layers[0].buffer == 4
+    assert layers.layers[0].minzoom == 5
+
+
+# ------------------------------------------------------------- operators
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(60):
+        if i % 10 < 3:
+            text = f"duplicate body {i % 3} with shared tail tokens here"
+        else:
+            text = (f"the quick document {i} and some of the words is "
+                    f"unique-{i * 17} tail")
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup(spark, docs):
+    from tileigi_spark.dedup import exact_dedup, exact_dup_groups
+
+    kept = exact_dedup(docs)
+    groups = {r["content_md5"]: (r["n_dups"], r["keep_id"])
+              for r in exact_dup_groups(docs).collect()}
+    dup_groups = [g for g in groups.values() if g[0] > 1]
+    assert len(dup_groups) == 3  # 3 duplicate bodies
+    assert kept.count() == docs.count() - sum(g[0] - 1 for g in dup_groups)
+
+
+def test_minhash_finds_exact_dups(spark, docs):
+    from tileigi_spark.dedup import minhash_dedup_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(docs, threshold=0.99).collect()}
+    # identical docs must be found with jaccard 1.0
+    assert all(abs(v - 1.0) < 1e-12 for v in pairs.values())
+    assert (0, 12) in pairs  # both "duplicate body 0"
+
+
+def test_simhash_hamming_zero_for_dups(spark, docs):
+    from tileigi_spark.dedup import simhash_near_dups
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_dups(docs, max_hamming=0).collect()}
+    assert (0, 12) in pairs
+    assert pairs[(0, 12)] == 0
+
+
+def test_textops(spark, docs):
+    from tileigi_spark.textops import (with_token_count, with_quality,
+                                       with_lang_guess, with_fingerprint)
+
+    t = with_token_count(docs).filter(F.col("doc_id") == 5).collect()[0]
+    expected_tokens = len("the quick document 5 and some of the words is "
+                          "unique-85 tail".split())
+    assert t["n_tokens"] == expected_tokens
+
+    q = with_quality(docs).filter(F.col("doc_id") == 5).collect()[0]
+    assert q["q_tokens"] == expected_tokens
+    assert 0 < q["q_stopword_ratio"] < 1
+
+    g = with_lang_guess(docs).filter(F.col("doc_id") == 5).collect()[0]
+    assert g["lang_guess"] == "en"
+
+    f1 = with_fingerprint(docs).filter(F.col("doc_id") == 0).collect()[0]
+    f2 = with_fingerprint(docs).filter(F.col("doc_id") == 12).collect()[0]
+    assert f1["fingerprint"] == f2["fingerprint"]  # identical texts
+
+
+def test_similarity_topk(spark):
+    from tileigi_spark.similarity import brute_force_topk, lsh_topk
+
+    import numpy as np
+    rows = []
+    for i in range(50):
+        base = np.zeros(8)
+        base[i % 8] = 1.0
+        base[(i + 1) % 8] = 0.3 + (i % 5) * 0.1
+        rows.append((i, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    exact = brute_force_topk(q, emb, k=3)
+    got = {(r["query_id"], r["sim_rank"]): r["vec_id"]
+           for r in exact.collect()}
+    # rank 1 is always the vector itself (cosine 1.0, lowest id tie-break)
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 1 and got[(2, 1)] == 2
+    # lsh variant returns <= k ranked rows per query
+    approx = lsh_topk(q, emb, k=3)
+    assert approx.groupBy("query_id").count().agg(
+        F.max("count")).collect()[0][0] <= 3
+
+
+def test_extractor_formats():
+    from tileigi_spark.extract import extract_one
+
+    assert extract_one("at 48.8566, 2.3522 x")[:2] == (48.8566, 2.3522)
+    assert extract_one("(48.8566,2.3522)")[:2] == (48.8566, 2.3522)
+    lat, lon, span = extract_one("12.5S, 130.9E")
+    assert (lat, lon) == (-12.5, 130.9)
+    assert span == "12.5S, 130.9E"
+    assert extract_one("999.99, 720.13") is None
+    assert extract_one("junk 999.99, 720.13 then 1.5, 2.5 ok")[:2] == (1.5, 2.5)
+    assert extract_one("no coords") is None
+    # latitude beyond the web-mercator limit is rejected
+    assert extract_one("89.0, 10.0") is None
+
+
+def test_multimodal_plumbing(spark):
+    from tileigi_spark.multimodal import image_features, frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b"imagebytes-1"), (2, b"imagebytes-2"), (3, None)],
+        "doc_id long, blob binary")
+    feats = image_features(df, bin_col="blob")
+    rows = feats.collect()
+    assert len(rows) == 2  # null blob dropped
+    assert all(r["format"] == "fake" for r in rows)
+    assert len(bytes(rows[0]["feature"])) == 32
+
+    frames = frame_sample(df, bin_col="blob")
+    assert frames.count() >= 2
+    assert frames.filter(F.col("doc_id") == 3).count() == 0

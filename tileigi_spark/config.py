@@ -79,3 +79,46 @@ def layers_from_yaml(path: str) -> Layers:
         name=doc.get("name"),
         description=doc.get("description"),
     )
+
+
+def layers_from_toml(path: str) -> Layers:
+    """Tegola-style TOML reader (input/tegola.rs:79-117): [[providers]]
+    with layers + [[maps]] zoom ranges; provider layer names map to Spark
+    sources."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        doc = tomllib.load(f)
+
+    provider_layers = {}
+    for provider in doc.get("providers", []):
+        for pl in provider.get("layers", []):
+            provider_layers[pl["name"]] = pl
+
+    layers = []
+    global_minzoom, global_maxzoom = 0, 14
+    name = None
+    for m in doc.get("maps", []):
+        name = m.get("name", name)
+        for ml in m.get("layers", []):
+            pname = ml.get("provider_layer", ml.get("name", ""))
+            pname = pname.split(".")[-1]
+            pl = provider_layers.get(pname, {})
+            layers.append(Layer(
+                id=ml.get("name", pname),
+                source=pl.get("tablename", pl.get("sql", pname)),
+                minzoom=int(ml.get("min_zoom", global_minzoom)),
+                maxzoom=int(ml.get("max_zoom", global_maxzoom)),
+                buffer=int(pl.get("buffer", 0)),
+            ))
+    return Layers(layers=layers, global_minzoom=global_minzoom,
+                  global_maxzoom=global_maxzoom, name=name)
+
+
+def layers_from_file(path: str) -> Layers:
+    """YAML first, then TOML — the reference's fallback order
+    (input/mod.rs:37-39)."""
+    try:
+        return layers_from_yaml(path)
+    except Exception:
+        return layers_from_toml(path)

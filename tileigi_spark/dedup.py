@@ -159,12 +159,17 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     sh = simhash_pandas(df, text_col, id_col)
     blocks = max_hamming + 1
     width = 64 // blocks
+
+    def block(b):
+        shifted = F.shiftrightunsigned(F.col("simhash"), b * width)
+        if width >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     exploded = sh.select(
         id_col, "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            for b in range(blocks)])).alias("block_idx", "block_val"))
+        F.posexplode(F.array(*[block(b) for b in range(blocks)]))
+        .alias("block_idx", "block_val"))
     left = exploded.select(F.col(id_col).alias("a"),
                            F.col("simhash").alias("sh_a"),
                            "block_idx", "block_val")

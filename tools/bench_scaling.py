@@ -1,0 +1,94 @@
+"""Scaling-efficiency evidence (north rule): run bench.py at N and 4N
+cores on the same input and report throughput at both plus efficiency
+(T_4N/T_N)/4. Writes BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [sf_dir] [N] [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str, replicas: int) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_REPLICAS=str(replicas))
+    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                         env=env, capture_output=True, text=True,
+                         timeout=3600)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    r_n = run(n, sf_dir, replicas)
+    r_4n = run(4 * n, sf_dir, replicas)
+
+    def tp(r):
+        t = r["throughput"]
+        return {
+            "tiles_per_sec": t["tiles_per_sec"],
+            "pages_per_sec": t["pages_per_sec"],
+            "joined_rows_per_sec": t["joined_rows_per_sec"],
+            "headline_secs": (r["queries"].get("geotag_extract", 0)
+                              + max(v for k, v in r["queries"].items()
+                                    if k.startswith("mvt_pyramid_z0"))),
+        }
+
+    t_n, t_4n = tp(r_n), tp(r_4n)
+    eff_tiles = (t_4n["tiles_per_sec"] / t_n["tiles_per_sec"]) / 4.0
+    eff_pages = (t_4n["pages_per_sec"] / t_n["pages_per_sec"]) / 4.0
+    eff_joins = (t_4n["joined_rows_per_sec"] /
+                 t_n["joined_rows_per_sec"]) / 4.0
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH — throughput + scaling efficiency
+
+Workload: deterministic page expansion from `{sf_dir}/documents.parquet`
+(x{replicas} replicas) -> regex geotag extraction (Arrow UDF) -> z0-z10
+MVT pyramid -> PIP + kNN spatial joins. Same input at both parallelism
+levels (`local[{n}]` vs `local[{4 * n}]` standing in for N vs 4N
+executors per the sandbox rule).
+
+| metric | local[{n}] | local[{4 * n}] | scaling efficiency (T_4N/T_N)/4 |
+|---|---|---|---|
+| tiles/sec | {t_n['tiles_per_sec']} | {t_4n['tiles_per_sec']} | {eff_tiles:.3f} |
+| geotagged pages/sec | {t_n['pages_per_sec']} | {t_4n['pages_per_sec']} | {eff_pages:.3f} |
+| joined rows/sec | {t_n['joined_rows_per_sec']} | {t_4n['joined_rows_per_sec']} | {eff_joins:.3f} |
+
+North-rule target: efficiency >= 0.8 on the primary (tiles/sec) metric.
+
+Raw bench lines:
+
+```json
+{json.dumps(r_n)}
+{json.dumps(r_4n)}
+```
+
+Reference baseline (BASELINE.md): tileigi publishes no numbers; its known
+scaling limit is the single writer thread (lib.rs:233-251) which this
+engine removes entirely (distributed sink, content-addressed dedup).
+""")
+    print(json.dumps({
+        "n": n, "4n": 4 * n,
+        "tiles_eff": round(eff_tiles, 3),
+        "pages_eff": round(eff_pages, 3),
+        "joins_eff": round(eff_joins, 3),
+        "tiles_per_sec": [t_n["tiles_per_sec"], t_4n["tiles_per_sec"]],
+    }))
+
+
+if __name__ == "__main__":
+    main()
