@@ -84,6 +84,50 @@ def test_mbtiles_export(spark, tmp_path):
     assert bytes(t) == b"tile-a"
 
 
+def test_modtile_export(tmp_path):
+    import struct
+    from tileigi_spark.io import export_modtile, _xyz_to_mt_path
+
+    rows = [{"zoom": 4, "x": 9, "y": 10, "tile": b"AAAA"},
+            {"zoom": 4, "x": 8, "y": 8, "tile": b"BB"}]
+    export_modtile(rows, str(tmp_path))
+    # both tiles land in metatile (8,8) of size 8
+    path = tmp_path / _xyz_to_mt_path(4, 8, 8)
+    data = path.read_bytes()
+    assert data[:4] == b"META"
+    n, mx, my, z = struct.unpack_from("<IIII", data, 4)
+    assert (n, mx, my, z) == (64, 8, 8, 4)
+    # index for (9,10): (9-8)*8 + (10-8) = 10; (8,8) -> 0
+    off0, sz0 = struct.unpack_from("<II", data, 20)
+    assert sz0 == 2 and data[off0:off0 + sz0] == b"BB"
+    off10, sz10 = struct.unpack_from("<II", data, 20 + 8 * 10)
+    assert sz10 == 4 and data[off10:off10 + sz10] == b"AAAA"
+
+
+def test_tilestash_export(tmp_path):
+    from tileigi_spark.io import export_tilestash
+
+    export_tilestash([{"zoom": 3, "x": 1, "y": 2, "tile": b"T"}],
+                     str(tmp_path))
+    assert (tmp_path / "3" / "1" / "2.pbf").read_bytes() == b"T"
+
+
+def test_tilejson_writer(tmp_path):
+    import json
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.io import write_tilejson
+
+    layers = Layers(layers=[Layer(id="a", source="a", maxzoom=9)],
+                    global_maxzoom=14, name="t")
+    path = tmp_path / "metadata.json"
+    write_tilejson(layers, str(path),
+                   prop_types={"a": {"name": "String"}})
+    doc = json.loads(path.read_text())
+    assert doc["tilejson"] == "2.2.0"
+    assert doc["vector_layers"][0]["fields"] == {"name": "String"}
+    assert doc["vector_layers"][0]["maxzoom"] == 9
+
+
 def test_config_readers(tmp_path):
     from tileigi_spark.config import layers_from_file
 

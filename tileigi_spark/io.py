@@ -176,6 +176,54 @@ def export_mbtiles(tiles_rows, path: str, metadata: dict | None = None):
     con.close()
 
 
+def _xyz_to_mt_path(z: int, x: int, y: int, ext: str = "meta") -> str:
+    """ModTile path hashing (fileio.rs:297-325): nibble-interleaved
+    5-level directory layout z/a/b/c/d/e.meta."""
+    parts = []
+    for _ in range(5):
+        parts.append(((x & 0x0F) << 4) | (y & 0x0F))
+        x >>= 4
+        y >>= 4
+    e, d, c, b, a = parts
+    return f"{z}/{a}/{b}/{c}/{d}/{e}.{ext}"
+
+
+def export_modtile(tiles_rows, base_dir: str, metatile_scale: int = 8):
+    """ModTile 8x8 binary metatile files (fileio.rs:199-294): 'META' magic
+    + count + x,y,z + little-endian offset/size table + blobs. Tiles are
+    grouped into metatiles driver-side (index i = (x-x0)*size + (y-y0),
+    fileio.rs:245); missing tiles get zero-length slots."""
+    import struct
+    from collections import defaultdict
+
+    groups = defaultdict(dict)
+    for row in tiles_rows:
+        z, x, y = row["zoom"], row["x"], row["y"]
+        size = min(metatile_scale, 1 << z)
+        mx, my = (x // size) * size, (y // size) * size
+        groups[(z, mx, my, size)][(x, y)] = bytes(row["tile"])
+
+    for (z, mx, my, size), tiles in groups.items():
+        n = size * size
+        blobs = [b""] * n
+        for (x, y), data in tiles.items():
+            blobs[(x - mx) * size + (y - my)] = data
+        header = b"META" + struct.pack("<IIII", n, mx, my, z)
+        offsets = []
+        cur = 4 + 4 + 12 + 8 * n
+        for blob in blobs:
+            offsets.append((cur, len(blob)))
+            cur += len(blob)
+        path = os.path.join(base_dir, _xyz_to_mt_path(z, mx, my))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(header)
+            for off, sz in offsets:
+                f.write(struct.pack("<II", off, sz))
+            for blob in blobs:
+                f.write(blob)
+
+
 def export_tilestash(tiles_rows, base_dir: str, ext: str = "pbf"):
     """TileStash directory layout z/x/y.pbf (fileio.rs:73-94)."""
     for row in tiles_rows:
