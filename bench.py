@@ -50,7 +50,11 @@ def synth_pages(spark, sf_dir: str, replicas: int):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "lang")
-    pages = docs.withColumn(
+    # the sf tables are single tiny parquet files -> 1 scan partition;
+    # spread rows so the narrow extract+geometry pipeline parallelizes
+    # (real 100TB inputs arrive already partitioned)
+    par = spark.sparkContext.defaultParallelism * 2
+    pages = docs.repartition(par).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
     pid = F.col("doc_id") * replicas + F.col("rep")
     lat0 = (pid * 2654435761) % 140000 - 70000
