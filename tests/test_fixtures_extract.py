@@ -1,0 +1,61 @@
+"""Golden-extract invariant (FIXTURES.md §5): extraction over the
+deterministic pages fixture is a pure function of url — byte-identical
+spans on repeated runs, junk rejected, no-coord rows dropped."""
+
+import hashlib
+
+from tileigi_spark.extract import extract_one
+from tileigi_spark.fixtures import make_pages, _page_latlon
+
+
+def test_extraction_deterministic_and_correct():
+    pages = make_pages(500)
+    spans = {}
+    n_null = 0
+    for row in pages.itertuples(index=False):
+        r = extract_one(row.text)
+        i = int(row.url.split("-")[1].split(".")[0])
+        if i % 7 == 3:
+            assert r is None, f"no-coord page {i} extracted {r}"
+            n_null += 1
+            continue
+        assert r is not None, f"page {i} failed extraction: {row.text!r}"
+        lat, lon, span = r
+        exp_lat, exp_lon = _page_latlon(i)
+        assert abs(lat - exp_lat) < 1e-9
+        assert abs(lon - exp_lon) < 1e-9
+        spans[row.url] = span.encode("utf-8")
+    assert n_null > 0
+
+    # byte-identical per url on a second pass
+    pages2 = make_pages(500)
+    for row in pages2.itertuples(index=False):
+        r = extract_one(row.text)
+        if r is not None:
+            assert spans[row.url] == r[2].encode("utf-8")
+
+    # stable digest of the full extraction (golden value: changes here mean
+    # the extractor or fixture semantics changed)
+    h = hashlib.sha256()
+    for url in sorted(spans):
+        h.update(url.encode() + b"|" + spans[url] + b"\n")
+    assert h.hexdigest() == GOLDEN_DIGEST
+
+
+# regenerate with _compute_digest() below if the fixture or extractor
+# semantics intentionally change
+GOLDEN_DIGEST = \
+    "2cb975d4005f9b95ffc30ce40bedaea18796a922610faa1a69ff85b16262b71d"
+
+
+def _compute_digest():
+    pages = make_pages(500)
+    spans = {}
+    for row in pages.itertuples(index=False):
+        r = extract_one(row.text)
+        if r is not None:
+            spans[row.url] = r[2].encode("utf-8")
+    h = hashlib.sha256()
+    for url in sorted(spans):
+        h.update(url.encode() + b"|" + spans[url] + b"\n")
+    return h.hexdigest()
