@@ -22,9 +22,13 @@ import os
 import sys
 import time
 
+
+def _p(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
+REPLICAS = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "400"))
 MAXZOOM = int(os.environ.get("SPARK_GRAFT_BENCH_MAXZOOM", "10"))
 
 
@@ -77,9 +81,14 @@ def synth_pages(spark, sf_dir: str, replicas: int):
 
 
 def pages_to_features(geo):
+    """Geotagged pages -> engine features with precomputed bbox columns
+    (pure JVM mercator from lat/lon; keeps the pre-shuffle pipeline free
+    of extra Python evals)."""
     from pyspark.sql import functions as F
     return geo.select(
-        F.xxhash64("url").alias("feature_id"), "way", "lang")
+        F.xxhash64("url").alias("feature_id"), "way", "lang",
+        F.col("mx").alias("xmin"), F.col("my").alias("ymin"),
+        F.col("mx").alias("xmax"), F.col("my").alias("ymax"))
 
 
 def main():
@@ -101,37 +110,43 @@ def main():
     extra: dict[str, float] = {}
 
     # ---- headline: geotag -> extract -> pyramid
+    # NOTE: stage outputs go through parquet, not .cache(): the local-mode
+    # BlockManager serializes concurrent persist() writes (measured 4-6x
+    # anti-scaling at 32 cores); per-task parquet files have no shared lock
+    # and match the production shape (stage boundaries on storage).
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="tileigi_bench_")
     t0 = time.time()
     pages = synth_pages(spark, sf_dir, REPLICAS)
-    geo = geotag_pages(pages)
-    feats = pages_to_features(geo).cache()
-    n_points = feats.count()
+    geotag_pages(pages).write.mode("overwrite").parquet(f"{workdir}/geo")
+    geo = spark.read.parquet(f"{workdir}/geo")
+    n_points = geo.count()
     extract_secs = time.time() - t0
     timings["geotag_extract"] = round(extract_secs, 3)
+    _p(f"phase geotag_extract {extract_secs:.1f}s n={n_points}")
     extra["pages_per_sec"] = round(n_points / extract_secs, 1)
     extra["n_pages"] = n_points
+    feats = pages_to_features(geo)
 
     t0 = time.time()
+    # low-zoom thinning via the !scale_denominator! idiom: zoom z keeps
+    # ~4^(z-MAXZOOM) of the features (planet configs always thin low zooms
+    # — the z0 tile must not receive the full feature set)
+    thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({MAXZOOM} - zoom)))"
+            f" = 0")
     layers = Layers(layers=[Layer(id="pages", source="pages", minzoom=0,
-                                  maxzoom=14, buffer=2)], global_maxzoom=14)
+                                  maxzoom=14, buffer=2, zoom_filter=thin)],
+                    global_maxzoom=14)
     tiles = build_tiles(spark, {"pages": feats}, layers, 0, MAXZOOM)
     n_tiles = tiles.count()
     pyramid_secs = time.time() - t0
     timings[f"mvt_pyramid_z0_{MAXZOOM}"] = round(pyramid_secs, 3)
+    _p(f"phase pyramid {pyramid_secs:.1f}s tiles={n_tiles}")
     extra["tiles_per_sec"] = round(n_tiles / pyramid_secs, 2)
     extra["n_tiles"] = n_tiles
 
     # ---- headline joins on the full point set
-    from tileigi_spark.mercator import MERC_MAX
-    pts = geo.select(
-        F.xxhash64("url").alias("pid"),
-        (F.col("lon") * (MERC_MAX / 180.0)).alias("mx"),
-        F.radians(F.col("lat")).alias("_latr")) \
-        .withColumn("my", F.lit(MERC_MAX / 3.141592653589793) *
-                    F.log(F.tan(F.lit(3.141592653589793 / 4) +
-                                F.col("_latr") / 2))) \
-        .drop("_latr").cache()
-    n_pts = pts.count()
+    pts = geo.select(F.xxhash64("url").alias("pid"), "mx", "my")
 
     t0 = time.time()
     polys = entrymod._nation_boxes(spark, sf_dir)
@@ -140,23 +155,25 @@ def main():
     n_pip = pip.count()
     pip_secs = time.time() - t0
     timings["pip_join"] = round(pip_secs, 3)
+    _p(f"phase pip {pip_secs:.1f}s rows={n_pip}")
 
     t0 = time.time()
-    queries = (pts.filter(F.pmod(F.col("pid"), F.lit(997)) < 3)
+    queries = (pts.filter(F.pmod(F.col("pid"), F.lit(997)) < 20)
                .select(F.col("pid").alias("query_id"),
                        F.col("mx").alias("qx"), F.col("my").alias("qy")))
     cands = pts.select(F.col("pid").alias("cand_id"),
                        F.col("mx").alias("cx"), F.col("my").alias("cy"))
-    knn = knn_join(queries, cands, k=5, index_zoom=6)
+    knn = knn_join(queries, cands, k=5, index_zoom=8)
     n_knn = knn.count()
     knn_secs = time.time() - t0
     timings["knn_join"] = round(knn_secs, 3)
+    _p(f"phase knn {knn_secs:.1f}s rows={n_knn}")
     extra["joined_rows_per_sec"] = round((n_pip + n_knn) /
                                          (pip_secs + knn_secs), 1)
     extra["n_joined_rows"] = n_pip + n_knn
 
-    feats.unpersist()
-    pts.unpersist()
+    import shutil
+    shutil.rmtree(workdir, ignore_errors=True)
 
     # ---- operator queries (correctness-gated set)
     for name, fn in entrymod.queries().items():
@@ -164,6 +181,7 @@ def main():
         try:
             fn(spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
+            _p(f"query {name} {timings[name]}s")
         except Exception as e:  # keep the bench line intact
             timings[name] = -1.0
             extra[f"error_{name}"] = str(e)[:120]

@@ -13,12 +13,21 @@ from dataclasses import dataclass, field
 
 @dataclass
 class Layer:
-    """input/mod.rs:27-34."""
+    """input/mod.rs:27-34.
+
+    zoom_filter is the Spark equivalent of the reference's
+    !scale_denominator!/!zoom! SQL-template idiom (input/mod.rs:97-119,
+    docs/data-yml.adoc:50-54): a SQL boolean expression over the feature
+    columns plus the `zoom` column, applied right after the zoom explode
+    so Catalyst prunes rows before any geometry work. Planet-scale configs
+    use it to thin low zooms (the z0 tile must not receive every feature).
+    """
     id: str
     source: str  # name of the feature DataFrame / table
     minzoom: int = 0
     maxzoom: int = 14
     buffer: int = 0  # config pixels; 1 px = 16 tile units (lib.rs:508)
+    zoom_filter: str | None = None
 
 
 @dataclass

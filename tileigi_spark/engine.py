@@ -4,18 +4,20 @@ groupBys, per-feature geometry stages as Arrow-batched UDFs.
 Spark-first re-expression of the reference lifecycle (lib.rs:464-736):
 
   features ──(bbox cover explode = J1, no shuffle)──▶ (zoom, metatile) rows
-      │ mapInPandas: remap→dedup/spikes→RDP→clip-buffered-bbox (G2-G10)
-      │ mapInPandas: quadtree tile split (G11) + make_valid (G15) +
-      │              orientation (G16) + per-tile shift (G12)  [explode J3]
+      │ one mapInPandas pass: remap → dedup/spikes → exact-int RDP →
+      │ buffered clip → quadtree tile split (J3) → make_valid → winding →
+      │ per-tile shift (G2-G16); vectorized numpy fast path for points
       ▼
-  groupBy(z,x,y,layer,salt).applyInPandas  ── partial MVT layer encode (A1)
-  groupBy(z,x,y,layer).applyInPandas       ── merge partials (O13 skew)
-  groupBy(z,x,y).applyInPandas             ── tile assembly + gzip (A2)
+  repartition(z,x,y,salt) + sortWithinPartitions + mapInPandas
+      — partial MVT layer encode (A1; salt breaks z0-z4 hot tiles, O13)
+  repartition(z,x,y) + sortWithinPartitions + mapInPandas
+      — merge partials per layer + tile assembly + gzip + md5 (A2)
 
-Shuffles: exactly the three groupBys (the first is the heavy one; salting
-bounds its max group size). Everything upstream is narrow — the cover
-"join" is arithmetic + explode on the feature side, which Catalyst keeps
-in one stage with the scan (predicate pushdown + column pruning intact).
+Shuffles: exactly the two repartitions. Everything upstream is narrow —
+the cover "join" is arithmetic + explode on the feature side, which
+Catalyst keeps in one stage with the scan (predicate pushdown + column
+pruning intact). Sorted-stream mapInPandas (not per-group applyInPandas)
+amortizes per-tile overhead across whole Arrow batches.
 """
 
 from __future__ import annotations
@@ -91,8 +93,21 @@ def with_bbox(features_df: DataFrame, way_col: str = "way") -> DataFrame:
         import numpy as np
         n = len(ways)
         out = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
+        # vectorized path for simple 2-D points (dominant for geotagged
+        # pages): bbox == the point itself
+        simple = np.fromiter((_is_simple_point_wkb(w) for w in ways),
+                             dtype=bool, count=n)
+        if simple.any():
+            buf = np.frombuffer(
+                b"".join(w for w, s in zip(ways, simple) if s),
+                dtype=np.uint8).reshape(-1, 21)
+            xs = buf[:, 5:13].copy().view(np.float64).ravel()
+            ys = buf[:, 13:21].copy().view(np.float64).ravel()
+            idx = np.nonzero(simple)[0]
+            out["xmin"][idx] = xs; out["xmax"][idx] = xs
+            out["ymin"][idx] = ys; out["ymax"][idx] = ys
         for i, w in enumerate(ways):
-            if w is None:
+            if simple[i] or w is None:
                 continue
             try:
                 g = wkb_to_geom(bytes(w))
@@ -130,12 +145,16 @@ def _collect_coords(geom, xs, ys):
 
 
 def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
-                    metatile_scale: int = 8) -> DataFrame:
+                    metatile_scale: int = 8,
+                    zoom_filter: Optional[str] = None) -> DataFrame:
     """J1 as arithmetic: explode each feature to the (zoom, metatile) cells
     its buffered bbox covers. Pure column math + explode — no shuffle, no
     broadcast; replaces the reference's per-metatile PostGIS `&&` probe
-    (input/mod.rs:119, lib.rs:543-544)."""
+    (input/mod.rs:119, lib.rs:543-544). zoom_filter (the
+    !scale_denominator! idiom) prunes rows per zoom before geometry work."""
     df = feats.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
+    if zoom_filter:
+        df = df.filter(F.expr(zoom_filter))
     two_z_l = F.expr("shiftleft(1L, zoom)")
     two_z = two_z_l.cast("double")
     size_mt = F.least(F.lit(metatile_scale).cast("long"), two_z_l)
@@ -520,14 +539,22 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
         if "feature_id" not in src.columns:
             src = src.withColumn("feature_id",
                                  F.xxhash64(F.col("way")))
-        feats = with_bbox(src)
+        # sources may carry precomputed bbox columns (geo-table practice;
+        # keeps the whole pre-shuffle pipeline JVM-side for point tables);
+        # otherwise one Arrow pass decodes WKB
+        if {"xmin", "ymin", "xmax", "ymax"} <= set(src.columns):
+            feats = src
+        else:
+            feats = with_bbox(src)
         layer_zooms = [z for z in zooms
                        if layer.minzoom <= z <= min(layer.maxzoom,
                                                     layers.global_maxzoom)]
         if not layer_zooms:
             continue
         covered = cover_metatiles(feats, layer_zooms, layer.buffer,
-                                  metatile_scale)
+                                  metatile_scale,
+                                  zoom_filter=getattr(layer, "zoom_filter",
+                                                      None))
         pieces = geometry_stage(covered, layer.id, layer.buffer,
                                 layers.global_maxzoom, metatile_scale)
         if done_keys is not None:

@@ -80,7 +80,7 @@ def geotag_pages(pages_df, text_col: str = "text", url_col: str = "url"):
     from .geom.wkb import geom_to_wkb
 
     out_schema = ("url string, lang string, lat double, lon double, "
-                  "span string, way binary")
+                  "mx double, my double, span string, way binary")
 
     def run(iterator):
         for pdf in iterator:
@@ -99,6 +99,8 @@ def geotag_pages(pages_df, text_col: str = "text", url_col: str = "url"):
                 "lang": sub["lang"].values if "lang" in sub else None,
                 "lat": lat,
                 "lon": lon,
+                "mx": mx,
+                "my": my,
                 "span": ext["span"][mask].values,
                 "way": ways,
             })

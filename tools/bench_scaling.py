@@ -30,7 +30,7 @@ def run(cpus: int, sf_dir: str, replicas: int) -> dict:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 
     r_n = run(n, sf_dir, replicas)
     r_4n = run(4 * n, sf_dir, replicas)
