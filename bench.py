@@ -163,7 +163,7 @@ def main():
                        F.col("mx").alias("qx"), F.col("my").alias("qy")))
     cands = pts.select(F.col("pid").alias("cand_id"),
                        F.col("mx").alias("cx"), F.col("my").alias("cy"))
-    knn = knn_join(queries, cands, k=5, index_zoom=8)
+    knn = knn_join(queries, cands, k=5)  # density-adaptive zoom
     n_knn = knn.count()
     knn_secs = time.time() - t0
     timings["knn_join"] = round(knn_secs, 3)

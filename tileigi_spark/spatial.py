@@ -74,7 +74,7 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
 
 
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
-             index_zoom: int = 6, query_id: str = "query_id",
+             index_zoom: int | None = None, query_id: str = "query_id",
              cand_id: str = "cand_id",
              qx: str = "qx", qy: str = "qy",
              cx: str = "cx", cy: str = "cy",
@@ -84,7 +84,18 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     Cell-ring expansion: radius starts at 1 cell and doubles (driver loop)
     for queries still short of k candidates; each round is a cell equi-join
     + window top-k. Deterministic tie-break by (distance², cand_id).
+
+    index_zoom=None picks the zoom from candidate density so a radius-1
+    disk holds ~10k candidates per cell-neighborhood bound — the join size
+    stays ~9 * max(k, ~10) per query instead of exploding when the fixed
+    grid is much coarser than the data (the H3-resolution-selection analog).
     """
+    if index_zoom is None:
+        import math
+        n_cands = candidates.count()
+        # target ~10 candidates per cell: cells ~ n/10, zoom = log4(cells)
+        index_zoom = max(2, min(14, round(math.log2(max(n_cands, 1) / 10.0)
+                                          / 2.0)))
     qcx, qcy = cell_xy_cols(F.col(qx), F.col(qy), index_zoom)
     q = queries.withColumn("_qcx", qcx).withColumn("_qcy", qcy)
     cands = candidates.withColumn(
