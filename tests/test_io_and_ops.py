@@ -266,6 +266,24 @@ def test_similarity_topk(spark):
         F.max("count")).collect()[0][0] <= 3
 
 
+def test_embedding_near_dups(spark):
+    from tileigi_spark.dedup import embedding_near_dups
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[(i % 4 + 1) % 8] = 0.05 * (i // 20)  # pairs i, i+20 similar
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in embedding_near_dups(emb, threshold=0.99).collect()}
+    # identical vectors (same i%4, same i//20 bucket) must be found
+    assert (0, 4) in pairs and abs(pairs[(0, 4)] - 1.0) < 1e-12
+    # dissimilar basis vectors must not pair
+    assert (0, 1) not in pairs
+
+
 def test_extractor_formats():
     from tileigi_spark.extract import extract_one
 
