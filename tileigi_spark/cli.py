@@ -48,6 +48,7 @@ def main(argv=None):
     from .io import (TileStore, export_mbtiles, run_pyramid_with_checkpoint,
                      write_tilejson)
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = (SparkSession.builder.appName("tileigi-spark")
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
@@ -55,6 +56,8 @@ def main(argv=None):
     layers = layers_from_file(args.config)
     sources = {}
     for s in args.source:
+        if "=" not in s:
+            p.error(f"--source must be NAME=PATH, got {s!r}")
         name, path = s.split("=", 1)
         sources[name] = spark.read.parquet(path)
 
@@ -82,7 +85,8 @@ def main(argv=None):
     if args.tilejson:
         write_tilejson(layers, args.tilejson)
 
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -158,7 +158,11 @@ def export_mbtiles(tiles_rows, path: str, metadata: dict | None = None):
     seen = set()
     for row in tiles_rows:
         z, x, y, tile = row["zoom"], row["x"], row["y"], bytes(row["tile"])
-        tile_id = row.get("tile_md5") or hashlib.md5(tile).hexdigest()
+        try:
+            tile_id = row["tile_md5"]
+        except (KeyError, ValueError, IndexError):
+            tile_id = None
+        tile_id = tile_id or hashlib.md5(tile).hexdigest()
         tms_y = (1 << z) - y - 1  # fileio.rs:138
         if tile_id not in seen:
             seen.add(tile_id)

@@ -29,6 +29,9 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts per event type — the streaming
     form of the batch `events_hourly` query."""
+    ts_type = dict(events.dtypes).get("ts", "timestamp")
+    if ts_type != "timestamp":  # watermarks require TIMESTAMP, not _NTZ
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (events
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
