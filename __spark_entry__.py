@@ -485,6 +485,41 @@ ORDER BY query_id, sim_rank
 """
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (integer output; the float
+    cosine threshold mirrors the oracle's arithmetic term-for-term)."""
+    from tileigi_spark.dedup import embedding_near_dups_exact
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 400))
+    return (embedding_near_dups_exact(emb, threshold=0.4)
+            .select("a", "b").orderBy("a", "b"))
+
+
+_DEDUP_EMBEDDING_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 400
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY a, b
+"""
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed near-dup (scale path; rows-only check)."""
+    from tileigi_spark.dedup import embedding_near_dups
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 400))
+    return (embedding_near_dups(emb, threshold=0.4)
+            .select("a", "b").orderBy("a", "b"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-k (scale path; rows-only check)."""
     from tileigi_spark.similarity import lsh_topk
@@ -674,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_jaccard,
         "dedup_minhash": _q_minhash,
         "dedup_simhash": _q_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_topk": _q_ann,
         "ann_lsh": _q_ann_lsh,
         "lang_quality": _q_lang_quality,
@@ -695,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_points": _KNN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
+        "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "ann_topk": _ANN_SQL,
         "lang_quality": _LANG_QUALITY_SQL,
         "langid": _LANGID_SQL,
@@ -702,5 +740,6 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_SQL,
         "pricing_summary": _PRICING_SQL,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # ann_lsh, mvt_pyramid, multimodal_features, tile bytes
+        # dedup_embedding_lsh, ann_lsh, mvt_pyramid, multimodal_features
+        # (randomized-bucketing candidates / binary tile bytes)
     }

@@ -283,6 +283,14 @@ def test_embedding_near_dups(spark):
     # dissimilar basis vectors must not pair
     assert (0, 1) not in pairs
 
+    # LSH candidates are a subset of the exact all-pairs baseline, and
+    # the exact baseline finds every identical-vector pair
+    from tileigi_spark.dedup import embedding_near_dups_exact
+    exact = {(r["a"], r["b"])
+             for r in embedding_near_dups_exact(emb, threshold=0.99).collect()}
+    assert set(pairs) <= exact
+    assert (0, 4) in exact
+
 
 def test_extractor_formats():
     from tileigi_spark.extract import extract_one

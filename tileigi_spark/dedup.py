@@ -217,6 +217,22 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
             .select("a", "b", "cosine"))
 
 
+def embedding_near_dups_exact(df: DataFrame, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.95) -> DataFrame:
+    """Exact all-pairs cosine near-dup: the brute-force baseline whose
+    output the LSH path (embedding_near_dups) approximates. O(n^2) theta
+    self-join (a < b) — the small-N / per-bucket verify path; at corpus
+    scale, bucket with embedding_near_dups and this becomes the in-bucket
+    verify."""
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    return (pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
+
+
 def cosine_sim(va, vb):
     """Exact cosine with JVM array HOFs (no UDF)."""
     va = va.cast("array<double>")
