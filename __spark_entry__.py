@@ -534,8 +534,9 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_lang_quality(spark, sf_dir):
-    """Text-analysis aggregates per lang: token/char sums as exact ints,
-    one final double division."""
+    """Text-analysis aggregates per lang. All output columns are BIGINT
+    (hash-stable across renderers): the mean is emitted as floor-divided
+    milli-tokens instead of a raw double."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (docs
@@ -543,20 +544,25 @@ def _q_lang_quality(spark, sf_dir):
                     n_tokens.alias("n_tokens"))
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_tokens").alias("sum_tokens"),
-                 F.sum("n_chars").alias("sum_chars"),
-                 (F.sum("n_tokens").cast("double") /
-                  F.count("*").cast("double")).alias("avg_tokens"))
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .withColumn("avg_tokens_milli",
+                        F.expr("CAST((sum_tokens * 1000) DIV n_docs"
+                               " AS BIGINT)"))
             .orderBy("lang"))
 
 
 _LANG_QUALITY_SQL = """
-SELECT lang, COUNT(*) AS n_docs,
-  SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
-  SUM(length(text)) AS sum_chars,
-  CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
-FROM documents GROUP BY lang ORDER BY lang
+WITH agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+      AS sum_tokens,
+    CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, sum_tokens, sum_chars,
+  CAST((sum_tokens * 1000) // n_docs AS BIGINT) AS avg_tokens_milli
+FROM agg ORDER BY lang
 """
 
 
@@ -622,17 +628,20 @@ def _q_events_hourly(spark, sf_dir):
     """Streaming-shaped tumbling-window aggregate (batch form): hourly
     counts + exact milli-sums per event type."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
-                       "event_type")
+    hour_s = F.date_format(F.date_trunc("hour", F.col("ts")),
+                           "yyyy-MM-dd HH:00")
+    return (ev.groupBy(hour_s.alias("hour"), "event_type")
             .agg(F.count("*").alias("n"),
                  F.sum(F.round(F.col("value") * 1000).cast("long"))
-                 .alias("sum_value_milli"))
+                 .cast("long").alias("sum_value_milli"))
             .orderBy("hour", "event_type"))
 
 
 _EVENTS_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
-  SUM(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+    AS sum_value_milli
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
@@ -653,10 +662,11 @@ def _q_pricing(spark, sf_dir):
 
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-    AS sum_disc_cents,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_cents,
+  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+    AS BIGINT) AS sum_disc_cents,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
