@@ -673,6 +673,172 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# bbox used by the bbox-restricted pyramid query (lon/lat)
+_BBOX_LL = (-60.0, -40.0, 30.0, 40.0)
+
+
+def _q_bbox_pyramid(spark, sf_dir):
+    """S6+bbox: build_tiles restricted to a lon/lat bbox at z0-z3; emits
+    the surviving (zoom, x, y) keys. Exercises the --bbox path end-to-end:
+    feature prefilter -> metatile-range filter -> tile-range filter."""
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles
+
+    feats = _point_features(spark, sf_dir)
+    layers = Layers(layers=[Layer(id="docs", source="docs", minzoom=0,
+                                  maxzoom=14, buffer=0)],
+                    global_maxzoom=14)
+    tiles = build_tiles(spark, {"docs": feats}, layers, 0, 3, bbox=_BBOX_LL)
+    return tiles.select("zoom", "x", "y").orderBy("zoom", "x", "y")
+
+
+def _bbox_pyramid_sql() -> str:
+    """Oracle: per zoom, remap+fan doc points over the single world
+    metatile (z<=3), then keep tiles inside the bbox's integer tile range.
+    The ranges come from the same driver-side bbox_tile_range() the engine
+    uses, so no float bbox math enters the SQL."""
+    from tileigi_spark.mercator import bbox_lonlat_to_merc, bbox_tile_range
+
+    merc = bbox_lonlat_to_merc(_BBOX_LL)
+    ctes, selects = [], []
+    for z in range(0, 4):
+        x0, y0, x1, y1 = bbox_tile_range(merc, z)
+        n = 1 << z
+        ext = 4096 * n
+        ctes.append(f"""
+rm{z} AS (
+  SELECT
+    CAST(FLOOR(((mx - (0.0 / {n}.0 * {_R_WORLD} - {_R_MERC}))
+      / (({n}.0 / {n}.0 * {_R_WORLD} - {_R_MERC})
+         - (0.0 / {n}.0 * {_R_WORLD} - {_R_MERC})))
+      * {ext}.0 + 0.5) AS BIGINT) AS u,
+    CAST(FLOOR(((({_R_MERC} - 0.0 / {n}.0 * {_R_WORLD}) - my)
+      / (({_R_MERC} - 0.0 / {n}.0 * {_R_WORLD})
+         - ({_R_MERC} - {n}.0 / {n}.0 * {_R_WORLD})))
+      * {ext}.0 + 0.5) AS BIGINT) AS v
+  FROM pts
+)""")
+        selects.append(f"""
+SELECT DISTINCT {z} AS zoom, tx AS x, ty AS y FROM (
+  SELECT tx, UNNEST(generate_series(
+    GREATEST(0, v // 4096 - CASE WHEN v % 4096 = 0 THEN 1 ELSE 0 END),
+    LEAST({n - 1}, v // 4096))) AS ty
+  FROM (
+    SELECT UNNEST(generate_series(
+      GREATEST(0, u // 4096 - CASE WHEN u % 4096 = 0 THEN 1 ELSE 0 END),
+      LEAST({n - 1}, u // 4096))) AS tx, v
+    FROM rm{z} WHERE u BETWEEN 0 AND {ext} AND v BETWEEN 0 AND {ext}
+  )
+)
+WHERE tx BETWEEN {x0} AND {x1} AND ty BETWEEN {y0} AND {y1}""")
+    return (f"WITH pts AS ({_DOC_POINTS_SQL}),"
+            + ",".join(ctes)
+            + "\nSELECT zoom, x, y FROM ("
+            + "\nUNION ALL".join(selects)
+            + ") ORDER BY zoom, x, y")
+
+
+def _q_poly_pieces(spark, sf_dir):
+    """G7+G9+G11 polygon parity: axis-aligned nation rectangles through
+    cover -> remap -> buffered clip -> quadtree tile slice at z2, emitting
+    SQL-checkable integers per piece: tile-local bbox and 2x shoelace
+    area. Pins the non-point branch of geometry_stage (engine polygon
+    path; ref lib.rs:559-728)."""
+    import pandas as pd
+    from tileigi_spark.engine import (cover_metatiles, geometry_stage,
+                                      with_bbox)
+    from tileigi_spark.geom.wkb import wkb_to_geom
+
+    boxes = _nation_boxes(spark, sf_dir) \
+        .withColumn("feature_id", F.col("n_nationkey").cast("long"))
+    covered = cover_metatiles(with_bbox(boxes), [2], buffer_px=2)
+    pieces = geometry_stage(covered, "boxes", buffer_px=2, global_maxzoom=14)
+
+    schema = ("zoom int, x long, y long, nationkey long, minu long, "
+              "minv long, maxu long, maxv long, area2 long")
+
+    def measure(iterator):
+        for pdf in iterator:
+            rows = {k: [] for k in ("zoom", "x", "y", "nationkey", "minu",
+                                    "minv", "maxu", "maxv", "area2")}
+            for r in pdf.itertuples(index=False):
+                typ, data = wkb_to_geom(bytes(r.geom))
+                polys = [data] if typ == "Polygon" else data
+                a2 = 0
+                xs, ys = [], []
+                for rings in polys:
+                    ring = rings[0]
+                    for i in range(len(ring) - 1):
+                        a2 += (int(ring[i][0]) * int(ring[i + 1][1])
+                               - int(ring[i + 1][0]) * int(ring[i][1]))
+                    xs.extend(int(p[0]) for p in ring)
+                    ys.extend(int(p[1]) for p in ring)
+                rows["zoom"].append(int(r.zoom))
+                rows["x"].append(int(r.x))
+                rows["y"].append(int(r.y))
+                rows["nationkey"].append(int(r.feature_id))
+                rows["minu"].append(min(xs))
+                rows["minv"].append(min(ys))
+                rows["maxu"].append(max(xs))
+                rows["maxv"].append(max(ys))
+                rows["area2"].append(abs(a2))
+            if rows["zoom"]:
+                yield pd.DataFrame(rows)
+
+    return (pieces.mapInPandas(measure, schema=schema)
+            .orderBy("x", "y", "nationkey"))
+
+
+_POLY_PIECES_SQL = f"""
+WITH boxes AS ({_NATION_BOX_SQL}),
+rm AS (
+  SELECT n_nationkey,
+    CAST(FLOOR(((x0 - (0.0 / 4.0 * {_R_WORLD} - {_R_MERC}))
+      / ((4.0 / 4.0 * {_R_WORLD} - {_R_MERC})
+         - (0.0 / 4.0 * {_R_WORLD} - {_R_MERC})))
+      * 16384.0 + 0.5) AS BIGINT) AS u0,
+    CAST(FLOOR(((x1 - (0.0 / 4.0 * {_R_WORLD} - {_R_MERC}))
+      / ((4.0 / 4.0 * {_R_WORLD} - {_R_MERC})
+         - (0.0 / 4.0 * {_R_WORLD} - {_R_MERC})))
+      * 16384.0 + 0.5) AS BIGINT) AS u1,
+    CAST(FLOOR(((({_R_MERC} - 0.0 / 4.0 * {_R_WORLD}) - y1)
+      / (({_R_MERC} - 0.0 / 4.0 * {_R_WORLD})
+         - ({_R_MERC} - 4.0 / 4.0 * {_R_WORLD})))
+      * 16384.0 + 0.5) AS BIGINT) AS v0,
+    CAST(FLOOR(((({_R_MERC} - 0.0 / 4.0 * {_R_WORLD}) - y0)
+      / (({_R_MERC} - 0.0 / 4.0 * {_R_WORLD})
+         - ({_R_MERC} - 4.0 / 4.0 * {_R_WORLD})))
+      * 16384.0 + 0.5) AS BIGINT) AS v1
+  FROM boxes
+),
+fan AS (
+  SELECT n_nationkey, u0, u1, v0, v1,
+    UNNEST(generate_series(GREATEST(0, (u0 - 32) // 4096),
+                           LEAST(3, (u1 + 32) // 4096))) AS tx
+  FROM rm
+),
+fan2 AS (
+  SELECT *,
+    UNNEST(generate_series(GREATEST(0, (v0 - 32) // 4096),
+                           LEAST(3, (v1 + 32) // 4096))) AS ty
+  FROM fan
+),
+pieces AS (
+  SELECT 2 AS zoom, tx AS x, ty AS y,
+    CAST(n_nationkey AS BIGINT) AS nationkey,
+    GREATEST(tx * 4096 - 32, u0) - tx * 4096 AS minu,
+    GREATEST(ty * 4096 - 32, v0) - ty * 4096 AS minv,
+    LEAST((tx + 1) * 4096 + 32, u1) - tx * 4096 AS maxu,
+    LEAST((ty + 1) * 4096 + 32, v1) - ty * 4096 AS maxv
+  FROM fan2
+)
+SELECT zoom, x, y, nationkey, minu, minv, maxu, maxv,
+  CAST(2 * (maxu - minu) * (maxv - minv) AS BIGINT) AS area2
+FROM pieces WHERE maxu > minu AND maxv > minv
+ORDER BY x, y, nationkey
+"""
+
+
 def _q_tiles(spark, sf_dir):
     """Full MVT pyramid z0-z4 over document points (rows-only check —
     tile bytes aren't SQL-expressible)."""
@@ -728,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
         "pricing_summary": _q_pricing,
+        "bbox_pyramid": _q_bbox_pyramid,
+        "poly_pieces_z2": _q_poly_pieces,
         "mvt_pyramid": _q_tiles,
         "multimodal_features": _q_multimodal,
     }
@@ -749,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "events_hourly": _EVENTS_SQL,
         "pricing_summary": _PRICING_SQL,
+        "bbox_pyramid": _bbox_pyramid_sql(),
+        "poly_pieces_z2": _POLY_PIECES_SQL,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
         # dedup_embedding_lsh, ann_lsh, mvt_pyramid, multimodal_features
         # (randomized-bucketing candidates / binary tile bytes)

@@ -4,17 +4,45 @@ Usage:
   spark-submit --py-files tileigi_spark.zip -m tileigi_spark.cli \\
     --config layers.yml --source pages=/path/pages.parquet \\
     --dest /path/tiles_store --minzoom 0 --maxzoom 14 \\
-    [--bbox minlon,minlat,maxlon,maxlat] [--no-compress] \\
-    [--metatile-scale 8] [--if-not-exists] [--mbtiles out.mbtiles]
+    [--bbox minlon,minlat,maxlon,maxlat] [--tile-list FILE] \\
+    [--no-compress] [--metatile-scale 8] [--if-not-exists] \\
+    [--mbtiles out.mbtiles]
 
-Mirrors the reference CLI surface: zoom range, bbox, destination type,
-metatile scale, resume (--if-not-exists -> checkpoint anti-join),
-compression toggle.
+Mirrors the reference CLI surface: zoom range, bbox-restricted rendering,
+explicit metatile lists (--tile-list, 'SCALE Z/X/Y' lines,
+bin/tileigi.rs:80-84), destination type, metatile scale, resume
+(--if-not-exists -> checkpoint anti-join), compression toggle.
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def parse_tile_list(path: str, metatile_scale: int):
+    """'SCALE Z/X/Y' lines -> {zoom: set of (mtx, mty) metatile indices}.
+    X/Y are tile coords of the metatile's top-left tile (slippy_map_tiles
+    Metatile convention). Malformed lines and scale mismatches raise."""
+    per_zoom: dict[int, set] = {}
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            try:
+                scale_s, zxy = line.split()
+                z_s, x_s, y_s = zxy.split("/")
+                scale, z, x, y = int(scale_s), int(z_s), int(x_s), int(y_s)
+            except ValueError:
+                raise ValueError(f"{path}:{ln}: expected 'SCALE Z/X/Y', "
+                                 f"got {line!r}")
+            if scale != metatile_scale:
+                raise ValueError(
+                    f"{path}:{ln}: scale {scale} != --metatile-scale "
+                    f"{metatile_scale}")
+            size = min(scale, 1 << z)
+            per_zoom.setdefault(z, set()).add((x // size, y // size))
+    return per_zoom
 
 
 def main(argv=None):
@@ -29,6 +57,9 @@ def main(argv=None):
     p.add_argument("--maxzoom", type=int, default=14)
     p.add_argument("--bbox", default=None,
                    help="minlon,minlat,maxlon,maxlat filter")
+    p.add_argument("--tile-list", default=None, metavar="FILE",
+                   help="render exactly the metatiles listed, one "
+                        "'SCALE Z/X/Y' per line")
     p.add_argument("--metatile-scale", type=int, default=8)
     p.add_argument("--no-compress", action="store_true")
     p.add_argument("--if-not-exists", action="store_true",
@@ -61,17 +92,47 @@ def main(argv=None):
         name, path = s.split("=", 1)
         sources[name] = spark.read.parquet(path)
 
+    # --bbox wins over config-level bounds (both lon/lat); unparsable
+    # input is a hard error, never a silent full-planet render
+    from .mercator import parse_bbox
+
+    bbox = None
+    if args.bbox is not None:
+        try:
+            bbox = parse_bbox(args.bbox)
+        except ValueError as e:
+            p.error(str(e))
+    elif layers.bounds is not None:
+        bbox = tuple(layers.bounds)
+
+    tile_list = None
+    if args.tile_list is not None:
+        try:
+            tile_list = parse_tile_list(args.tile_list, args.metatile_scale)
+        except (OSError, ValueError) as e:
+            p.error(str(e))
+
     store = TileStore(args.dest)
-    zooms = list(range(args.minzoom, args.maxzoom + 1))
+    if tile_list is not None:
+        zooms = sorted(z for z in tile_list
+                       if args.minzoom <= z <= args.maxzoom)
+    else:
+        zooms = list(range(args.minzoom, args.maxzoom + 1))
 
     def build_zoom(zoom, done):
+        mt_keys = None
+        if tile_list is not None:
+            mt_keys = spark.createDataFrame(
+                [(zoom, mx, my) for (mx, my) in sorted(tile_list[zoom])],
+                "zoom int, mtx long, mty long")
         return build_tiles(
             spark, sources, layers, zoom, zoom,
             metatile_scale=args.metatile_scale,
             salt_zoom_max=args.salt_zoom_max, n_salts=args.n_salts,
             compress=not args.no_compress,
             include_empty=args.include_empty,
-            done_keys=done if args.if_not_exists else None)
+            done_keys=done if args.if_not_exists else None,
+            bbox=bbox, metatile_keys=mt_keys)
 
     run_pyramid_with_checkpoint(spark, store, build_zoom, zooms)
 
@@ -83,7 +144,31 @@ def main(argv=None):
                                  "minzoom": args.minzoom,
                                  "maxzoom": args.maxzoom})
     if args.tilejson:
-        write_tilejson(layers, args.tilejson)
+        # per-layer field dictionaries from the source schemas, mapped to
+        # TileJSON type names like the reference derives them from pg
+        # column types (lib.rs:424-458)
+        from pyspark.sql.types import (BooleanType, DoubleType, FloatType,
+                                       IntegerType, LongType, StringType)
+
+        from .engine import _prop_columns
+
+        def tj_type(dt):
+            if isinstance(dt, BooleanType):
+                return "Boolean"
+            if isinstance(dt, (LongType, IntegerType, DoubleType, FloatType)):
+                return "Number"
+            if isinstance(dt, StringType):
+                return "String"
+            return "String"
+
+        prop_types = {}
+        for layer in layers.layers:
+            src = sources.get(layer.source)
+            if src is None:
+                continue
+            prop_types[layer.id] = {name: tj_type(dt)
+                                    for name, dt in _prop_columns(src)}
+        write_tilejson(layers, args.tilejson, prop_types=prop_types)
 
     if owns_session:
         spark.stop()

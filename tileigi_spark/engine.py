@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from .config import Layers
-from .mercator import MERC_MAX
+from .mercator import MERC_MAX, bbox_metatile_range, bbox_tile_range
 from .geom.wkb import wkb_to_geom, geom_to_wkb
 from .geom.remap import remap_geometry
 from .geom.simplify import remove_unneeded_points, simplify
@@ -144,14 +144,44 @@ def _collect_coords(geom, xs, ys):
                     xs.append(x); ys.append(y)
 
 
+def _zoom_xy_filter(ranges: dict[int, tuple[int, int, int, int]],
+                    xcol: str, ycol: str):
+    """OR-of-per-zoom inclusive integer ranges — bbox restriction as pure
+    integer comparisons (the ranges are precomputed driver-side, so no
+    float math enters the plan)."""
+    cond = None
+    for z, (x0, y0, x1, y1) in sorted(ranges.items()):
+        c = ((F.col("zoom") == z)
+             & F.col(xcol).between(F.lit(x0), F.lit(x1))
+             & F.col(ycol).between(F.lit(y0), F.lit(y1)))
+        cond = c if cond is None else cond | c
+    return cond
+
+
 def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
                     metatile_scale: int = 8,
-                    zoom_filter: Optional[str] = None) -> DataFrame:
+                    zoom_filter: Optional[str] = None,
+                    bbox_merc: Optional[tuple] = None) -> DataFrame:
     """J1 as arithmetic: explode each feature to the (zoom, metatile) cells
     its buffered bbox covers. Pure column math + explode — no shuffle, no
     broadcast; replaces the reference's per-metatile PostGIS `&&` probe
     (input/mod.rs:119, lib.rs:543-544). zoom_filter (the
-    !scale_denominator! idiom) prunes rows per zoom before geometry work."""
+    !scale_denominator! idiom) prunes rows per zoom before geometry work.
+
+    bbox_merc restricts generation to metatiles intersecting the 3857 bbox
+    (MetatilesIterator::new_for_bbox_zoom, lib.rs:186-220): a coarse
+    feature-bbox prefilter runs before the zoom explode (pushdown-friendly
+    — a planet scan with a city bbox prunes at the source), then the exact
+    integer metatile-range filter after."""
+    if bbox_merc is not None:
+        # widest clip-buffer slack across zooms (largest at min zoom)
+        slack = (WORLD / (1 << min(zooms))) * ((buffer_px * 16 + 1) / 4096.0)
+        bminx, bminy, bmaxx, bmaxy = bbox_merc
+        feats = feats.filter(
+            (F.col("xmax") >= F.lit(bminx - slack))
+            & (F.col("xmin") <= F.lit(bmaxx + slack))
+            & (F.col("ymax") >= F.lit(bminy - slack))
+            & (F.col("ymin") <= F.lit(bmaxy + slack)))
     df = feats.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
     if zoom_filter:
         df = df.filter(F.expr(zoom_filter))
@@ -173,9 +203,14 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
     my0 = clamp(F.floor((F.lit(MERC_MAX) - (F.col("ymax") + buf_m)) / mt_merc))
     my1 = clamp(F.floor((F.lit(MERC_MAX) - (F.col("ymin") - buf_m)) / mt_merc))
 
-    return (df
-            .withColumn("mtx", F.explode(F.sequence(mx0, mx1)))
-            .withColumn("mty", F.explode(F.sequence(my0, my1))))
+    covered = (df
+               .withColumn("mtx", F.explode(F.sequence(mx0, mx1)))
+               .withColumn("mty", F.explode(F.sequence(my0, my1))))
+    if bbox_merc is not None:
+        ranges = {z: bbox_metatile_range(bbox_merc, z, metatile_scale)
+                  for z in zooms}
+        covered = covered.filter(_zoom_xy_filter(ranges, "mtx", "mty"))
+    return covered
 
 
 def _points_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
@@ -508,14 +543,24 @@ def empty_tile_bytes(layers: Layers, zoom: int, compress: bool = True) -> bytes:
     return mvt.encode_tile(lb, compress=compress)
 
 
-def tile_driver(spark: SparkSession, zoom: int) -> DataFrame:
+def tile_driver(spark: SparkSession, zoom: int,
+                tile_range: Optional[tuple] = None) -> DataFrame:
     """S6: all (zoom, x, y) keys of one pyramid level, generated without a
-    shuffle from spark.range (lib.rs:186-220 equivalent)."""
-    n = 1 << zoom
-    return (spark.range(n * n)
+    shuffle from spark.range (lib.rs:186-220 equivalent). tile_range
+    (x0, y0, x1, y1 inclusive) enumerates only the bbox window — a z14
+    city render emits thousands of keys, not 2^28."""
+    if tile_range is None:
+        n = 1 << zoom
+        x0 = y0 = 0
+        w = h = n
+    else:
+        x0, y0, x1, y1 = tile_range
+        w, h = x1 - x0 + 1, y1 - y0 + 1
+    return (spark.range(w * h)
             .select(F.lit(zoom).cast("int").alias("zoom"),
-                    (F.col("id") / n).cast("long").alias("x"),
-                    F.pmod(F.col("id"), F.lit(n)).cast("long").alias("y")))
+                    (F.lit(x0) + (F.col("id") / h).cast("long")).alias("x"),
+                    (F.lit(y0) + F.pmod(F.col("id"), F.lit(h))).cast("long")
+                    .alias("y")))
 
 
 def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
@@ -523,15 +568,28 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
                 metatile_scale: int = 8, salt_zoom_max: int = 4,
                 n_salts: int = 16, compress: bool = True,
                 include_empty: bool = False,
-                done_keys: Optional[DataFrame] = None) -> DataFrame:
+                done_keys: Optional[DataFrame] = None,
+                bbox: Optional[tuple] = None,
+                metatile_keys: Optional[DataFrame] = None) -> DataFrame:
     """Entry point 1 (lib.rs:177-310): full pyramid as one lazy plan.
 
     sources: source name -> features DataFrame with `way` (WKB 3857 binary)
     + `feature_id` (stable long) + property columns.
     done_keys: optional (zoom, x, y) DataFrame of already-written tiles;
     anti-joined away for checkpoint resume (S11).
+    bbox: optional (minlon, minlat, maxlon, maxlat) restricting generation
+    to tiles intersecting it (bin/tileigi.rs:110-126; tighter than the
+    reference's metatile granularity — tiles outside the bbox are absent).
+    metatile_keys: optional (zoom, mtx, mty) DataFrame naming exactly the
+    metatiles to render (--tile-list re-render-dirty workflows,
+    bin/tileigi.rs:80-84); broadcast semi-joined — the list is small.
     """
+    from .mercator import bbox_lonlat_to_merc
+
     zooms = list(range(minzoom, maxzoom + 1))
+    bbox_merc = bbox_lonlat_to_merc(bbox) if bbox is not None else None
+    tile_ranges = ({z: bbox_tile_range(bbox_merc, z) for z in zooms}
+                   if bbox_merc is not None else None)
     per_layer = []
     prop_types: dict[str, dict] = {}
     for order, layer in enumerate(layers.layers):
@@ -554,9 +612,17 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
         covered = cover_metatiles(feats, layer_zooms, layer.buffer,
                                   metatile_scale,
                                   zoom_filter=getattr(layer, "zoom_filter",
-                                                      None))
+                                                      None),
+                                  bbox_merc=bbox_merc)
+        if metatile_keys is not None:
+            covered = covered.join(F.broadcast(metatile_keys),
+                                   on=["zoom", "mtx", "mty"],
+                                   how="left_semi")
         pieces = geometry_stage(covered, layer.id, layer.buffer,
                                 layers.global_maxzoom, metatile_scale)
+        if tile_ranges is not None:
+            pieces = pieces.filter(_zoom_xy_filter(
+                {z: tile_ranges[z] for z in layer_zooms}, "x", "y"))
         if done_keys is not None:
             # resume anti-join (S11); AQE picks broadcast vs shuffle by size
             pieces = pieces.join(done_keys, on=["zoom", "x", "y"],
@@ -566,6 +632,13 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
         per_layer.append(pieces
                          .withColumn("layer", F.lit(layer.id))
                          .withColumn("layer_order", F.lit(order)))
+
+    if not per_layer:
+        # no layer covers the requested zoom range: empty result with the
+        # tiles schema (a one-zoom CLI loop must not crash at zooms no
+        # layer serves)
+        return spark.createDataFrame(
+            [], "zoom int, x long, y long, tile binary, tile_md5 string")
 
     all_pieces = per_layer[0]
     for other in per_layer[1:]:
@@ -577,7 +650,8 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
     if include_empty:
         full = None
         for z in zooms:
-            drv = tile_driver(spark, z)
+            drv = tile_driver(spark, z,
+                              tile_ranges[z] if tile_ranges else None)
             full = drv if full is None else full.unionByName(drv)
         eb = {z: empty_tile_bytes(layers, z, compress) for z in zooms}
         empty_col = F.lit(bytearray(eb[zooms[0]]))

@@ -84,6 +84,67 @@ def y_to_lat(y, extent: float) -> float:
     return math.degrees(math.atan(math.sinh((1.0 - 2.0 * (y / extent)) * math.pi)))
 
 
+# -------------------------------------------------------------------- bbox
+
+# Mercator latitude limit: atan(sinh(pi)) in degrees
+MAX_LAT = 85.05112877980659
+
+
+def parse_bbox(s: str) -> tuple[float, float, float, float]:
+    """Parse 'minlon,minlat,maxlon,maxlat' (bin/tileigi.rs:110-126 surface).
+    Raises ValueError on malformed input — the flag must never be silently
+    ignored."""
+    parts = s.split(",")
+    if len(parts) != 4:
+        raise ValueError(f"bbox must be minlon,minlat,maxlon,maxlat: {s!r}")
+    try:
+        minlon, minlat, maxlon, maxlat = (float(p) for p in parts)
+    except ValueError:
+        raise ValueError(f"bbox has non-numeric component: {s!r}")
+    if not (-180.0 <= minlon < maxlon <= 180.0):
+        raise ValueError(f"bbox longitudes out of order/range: {s!r}")
+    if not (-90.0 <= minlat < maxlat <= 90.0):
+        raise ValueError(f"bbox latitudes out of order/range: {s!r}")
+    return (minlon, minlat, maxlon, maxlat)
+
+
+def bbox_lonlat_to_merc(bbox) -> tuple[float, float, float, float]:
+    """lon/lat bbox -> EPSG:3857 bbox, latitudes clamped to the mercator
+    world square."""
+    minlon, minlat, maxlon, maxlat = bbox
+    minlat = max(minlat, -MAX_LAT)
+    maxlat = min(maxlat, MAX_LAT)
+    xs, ys = lonlat_to_merc([minlon, maxlon], [minlat, maxlat])
+    return (float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1]))
+
+
+def bbox_tile_range(bbox_merc, zoom: int) -> tuple[int, int, int, int]:
+    """Inclusive (x0, y0, x1, y1) slippy-tile range whose tiles intersect
+    the 3857 bbox at `zoom` (slippy_map_tiles size_bbox_zoom analog;
+    lib.rs:186-220). Computed driver-side so Spark filters and DuckDB
+    oracles share the exact same integers (no libm in the plan)."""
+    minx, miny, maxx, maxy = bbox_merc
+    n = 1 << zoom
+    world = 2.0 * MERC_MAX
+
+    def clamp(v):
+        return min(max(int(v), 0), n - 1)
+
+    x0 = clamp(math.floor((minx + MERC_MAX) / world * n))
+    x1 = clamp(math.floor((maxx + MERC_MAX) / world * n))
+    y0 = clamp(math.floor((MERC_MAX - maxy) / world * n))
+    y1 = clamp(math.floor((MERC_MAX - miny) / world * n))
+    return (x0, y0, x1, y1)
+
+
+def bbox_metatile_range(bbox_merc, zoom: int,
+                        scale: int = 8) -> tuple[int, int, int, int]:
+    """Inclusive metatile-index range covering bbox_tile_range."""
+    x0, y0, x1, y1 = bbox_tile_range(bbox_merc, zoom)
+    size = min(scale, 1 << zoom)
+    return (x0 // size, y0 // size, x1 // size, y1 // size)
+
+
 # --------------------------------------------------------------- metatiles
 
 @dataclass(frozen=True)
