@@ -511,24 +511,33 @@ ORDER BY a, b
 
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
-    """Hyperplane-LSH bucketed near-dup (scale path; rows-only check)."""
+    """Banded AND-OR hyperplane-LSH near-dup (scale path). At these knobs
+    (24 tables × 4 bits for the loose 0.4 threshold) recall vs the exact
+    twin is 1.0 on the fixtures, and the cosine verify guarantees
+    containment — so it shares the exact path's DuckDB oracle."""
     from tileigi_spark.dedup import embedding_near_dups
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .filter(F.col("vec_id") < 400))
-    return (embedding_near_dups(emb, threshold=0.4)
+    return (embedding_near_dups(emb, threshold=0.4, n_tables=24, n_bits=4)
             .select("a", "b").orderBy("a", "b"))
 
 
+_DEDUP_EMBEDDING_LSH_SQL = _DEDUP_EMBEDDING_SQL  # exact twin: recall 1.0
+
+
 def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; rows-only check)."""
+    """Banded multiprobe LSH approximate top-k (scale path). At these
+    knobs recall@5 vs brute force is 1.0 on the fixtures, so it shares
+    the exact oracle (ranks agree whenever every true top-k candidate is
+    probed)."""
     from tileigi_spark.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_vec")))
-    got = lsh_topk(queries, emb, k=5)
+    got = lsh_topk(queries, emb, k=5, n_tables=8, n_bits=6, n_probes=6)
     return got.select("query_id", "vec_id", "sim_rank") \
         .orderBy("query_id", "sim_rank")
 
@@ -911,7 +920,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
+        "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         "ann_topk": _ANN_SQL,
+        "ann_lsh": _ANN_SQL,
         "lang_quality": _LANG_QUALITY_SQL,
         "langid": _LANGID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
@@ -919,7 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SQL,
         "bbox_pyramid": _bbox_pyramid_sql(),
         "poly_pieces_z2": _POLY_PIECES_SQL,
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash,
-        # dedup_embedding_lsh, ann_lsh, mvt_pyramid, multimodal_features
-        # (randomized-bucketing candidates / binary tile bytes)
+        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash
+        # (xxhash64 has no DuckDB equivalent), mvt_pyramid (binary tile
+        # bytes), multimodal_features (binary codec)
     }

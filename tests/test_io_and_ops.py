@@ -220,6 +220,27 @@ def test_simhash_hamming_zero_for_dups(spark, docs):
     assert pairs[(0, 12)] == 0
 
 
+def test_simhash_signature_pinned(spark):
+    """Signature stage invariants: a one-token doc's signature IS the
+    token's xxhash64 (every bit vote is unanimous); duplicates collapse;
+    blank docs get 0; and the plan stays JVM-side (no Python UDF)."""
+    from tileigi_spark.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "foo"), (2, "foo foo foo"), (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(df).collect()}
+    xx = spark.sql("SELECT xxhash64('foo') AS h").collect()[0]["h"]
+    assert got[1] == xx
+    assert got[2] == xx
+    assert got[3] == 0 and got[4] == 0
+
+    plan = simhash_signatures(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_textops(spark, docs):
     from tileigi_spark.textops import (with_token_count, with_quality,
                                        with_lang_guess, with_fingerprint)
@@ -290,6 +311,66 @@ def test_embedding_near_dups(spark):
              for r in embedding_near_dups_exact(emb, threshold=0.99).collect()}
     assert set(pairs) <= exact
     assert (0, 4) in exact
+
+
+def test_lsh_recall_floors(spark):
+    """Recall gates for the approximate paths against their exact twins
+    on the real embeddings fixture: silent recall collapse (e.g. from a
+    bad hyperplane construction) must fail loudly, not pass rows-only."""
+    from tileigi_spark.dedup import (embedding_near_dups,
+                                     embedding_near_dups_exact)
+    from tileigi_spark.similarity import brute_force_topk, lsh_topk
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter(F.col("vec_id") < 400))
+    exact = {(r["a"], r["b"])
+             for r in embedding_near_dups_exact(emb, threshold=0.4)
+             .collect()}
+    lsh = {(r["a"], r["b"])
+           for r in embedding_near_dups(emb, threshold=0.4, n_tables=24,
+                                        n_bits=4).collect()}
+    assert lsh <= exact  # cosine verify guarantees containment
+    assert len(lsh & exact) >= 0.8 * len(exact), \
+        f"near-dup recall {len(lsh & exact)}/{len(exact)} below 0.8"
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"))
+    bf = {(r["query_id"], r["vec_id"])
+          for r in brute_force_topk(q, emb, k=5).collect()}
+    ap = {(r["query_id"], r["vec_id"])
+          for r in lsh_topk(q, emb, k=5, n_tables=8, n_bits=6,
+                            n_probes=6).collect()}
+    assert len(ap & bf) >= 0.8 * len(bf), \
+        f"top-k recall {len(ap & bf)}/{len(bf)} below 0.8"
+
+
+def test_exact_near_dup_fence(spark):
+    """The O(n²) exact path refuses corpus-scale inputs."""
+    import pytest
+
+    from tileigi_spark.dedup import embedding_near_dups_exact
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_rows"):
+        embedding_near_dups_exact(emb, threshold=0.9, max_rows=10)
+
+
+def test_bucket_cap_drops_hot_buckets(spark):
+    """cap_buckets removes degenerate hot lists (the O(max_bucket²)
+    guard) and keeps everything else."""
+    from tileigi_spark.dedup import cap_buckets, lsh_tables
+
+    rows = [(i, [1.0, 0.0]) for i in range(30)]   # all identical: 1 bucket
+    rows += [(100 + i, [-1.0, float(i)]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = lsh_tables(emb, "embedding", n_tables=1, n_bits=2)
+    kept = cap_buckets(banded, max_bucket=10)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert all(i not in kept_ids for i in range(30))
+    assert {100, 101, 102} <= kept_ids or len(kept_ids) >= 1
 
 
 def test_extractor_formats():

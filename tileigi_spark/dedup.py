@@ -115,40 +115,30 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 # ---------------------------------------------------------------- simhash
 
-def simhash_pandas(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """SimHash via an Arrow-vectorized pandas UDF (numpy bit-matrix
-    majority vote per document)."""
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            hs = np.array([_xx64_py(w) for w in t.split()], dtype=np.uint64)
-            if hs.size == 0:
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            votes = bits.sum(axis=0) * 2 - hs.size
-            sh = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sh.astype(np.int64))
-        return pd.Series(out)
-
-    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
-
-
-def _xx64_py(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a; stable across workers)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, entirely in Catalyst HOFs — no Python
+    in the hot path (the per-word-Python signature stage was the classic
+    row-at-a-time anti-pattern). Tokens are whitespace-split, hashed with
+    the JVM's xxhash64, bit-voted in ONE aggregate pass with an
+    array<long> accumulator (zip_with over sequence(0,63)), and folded to
+    the signature long. Empty/blank docs get signature 0, matching a
+    majority vote over zero tokens."""
+    hs = F.expr(
+        f"transform(filter(split(trim({text_col}), '\\\\s+'), "
+        f"t -> t != ''), t -> xxhash64(t))")
+    sig = F.expr("""
+        aggregate(
+          zip_with(
+            aggregate(_hs, array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                                   (a, b) -> a + (shiftright(h, b) & 1))),
+            sequence(0, 63),
+            (v, b) -> IF(v * 2 > size(_hs), shiftleft(1L, b), 0L)),
+          0L, (a, x) -> a + x)
+    """)
+    return (df.select(id_col, hs.alias("_hs"))
+            .select(id_col, sig.alias("simhash")))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
@@ -156,7 +146,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash Hamming distance <= k, using the pigeonhole
     block trick: split 64 bits into (k+1) blocks; any pair within distance k
     agrees exactly on >= 1 block -> equi-join per block, then verify."""
-    sh = simhash_pandas(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col)
     blocks = max_hamming + 1
     width = 64 // blocks
 
@@ -187,44 +177,111 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------------- embeddings
 
+def rand_hyperplanes(dim: int, n: int, seed: int = 42):
+    """Deterministic i.i.d. Gaussian hyperplanes (seeded generator — every
+    executor/run derives the identical planes; replaces the correlated
+    sin((j+1)*odd) weights that made per-plane buckets non-independent)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def sign_bits(vec_col, planes):
+    """One 0/1 column per hyperplane: sign of the JVM-side dot product
+    (zip_with + aggregate over literal weight arrays — no UDF)."""
+    v = vec_col.cast("array<double>")
+    bits = []
+    for w in planes:
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = F.aggregate(F.zip_with(v, warr, lambda x, wt: x * wt),
+                           F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot infer embedding dim from {vec_col}")
+    return int(row["d"])
+
+
+def lsh_tables(df: DataFrame, vec_col: str, n_tables: int, n_bits: int,
+               seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Banded AND-OR sign-LSH: n_tables independent tables of n_bits
+    AND-ed sign bits each. Emits one (table, bucket) row per input row per
+    table. Collision prob for angle θ: 1-(1-(1-θ/π)^n_bits)^n_tables —
+    the AND (n_bits) kills the O(n²/2^bits) in-bucket quadratic, the OR
+    (n_tables) buys the recall back."""
+    dim = dim or infer_dim(df, vec_col)
+    bits = sign_bits(F.col(vec_col), rand_hyperplanes(dim, n_tables * n_bits,
+                                                      seed))
+    keys = []
+    for t in range(n_tables):
+        keys.append(sum(bits[t * n_bits + i] * (2 ** i)
+                        for i in range(n_bits)).cast("int"))
+    return df.select(
+        "*", F.posexplode(F.array(*keys)).alias("table", "bucket"))
+
+
+def cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop over-cap (table, bucket) groups — the degenerate hot-bucket
+    guard. The count table is at most n_tables * 2^n_bits rows, so it
+    broadcasts at any corpus size; without the cap one pathological
+    bucket is an O(max_bucket²) -> O(n²) pair blow-up."""
+    ok = (banded.groupBy("table", "bucket")
+          .agg(F.count("*").alias("_bn"))
+          .filter(F.col("_bn") <= max_bucket)
+          .drop("_bn"))
+    return banded.join(F.broadcast(ok), on=["table", "bucket"])
+
+
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.95,
-                        n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup via LSH bucketing: sign-of-projection onto
-    deterministic pseudo-random hyperplanes -> bucket equi-join -> exact
-    cosine verify with zip_with/aggregate (JVM-side)."""
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-    # deterministic "hyperplane" p: component j = sin(j*seed+1) via a cheap
-    # integer-derived pseudo-random weight; sign bucket per plane
-    buckets = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), dim_idx,
-                       lambda v, j: v * F.sin((j + 1) * F.lit(float(p * 2 + 1)))),
-            F.lit(0.0), lambda a, x: a + x)
-        buckets.append(F.when(proj >= 0, 1).otherwise(0))
-    bucket = sum(b * (2 ** i) for i, b in enumerate(buckets))
-    with_b = df.select(id_col, vec_col).withColumn("bucket", bucket)
-    left = with_b.select(F.col(id_col).alias("a"),
-                         F.col(vec_col).alias("va"), "bucket")
-    right = with_b.select(F.col(id_col).alias("b"),
-                          F.col(vec_col).alias("vb"), "bucket")
-    pairs = (left.join(right, on="bucket")
-             .filter(F.col("a") < F.col("b")))
-    return (pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+                        n_tables: int = 8, n_bits: int = 8,
+                        seed: int = 42, max_bucket: int = 100_000,
+                        dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup via banded AND-OR sign-LSH: bucket
+    equi-join per table -> pair dedup -> exact cosine verify (JVM HOFs).
+
+    Defaults target real near-dup thresholds (~0.95 cosine = 18°:
+    per-bit agree p=0.90, recall 1-(1-p^8)^8 ≈ 0.99). For looser
+    thresholds raise n_tables / lower n_bits — the recall-floor test
+    pins both regimes. Expected candidate pairs ≈ n²·p_rand^8·n_tables
+    with p_rand≈0.5 for unrelated vectors → n²/32 per table at 8 bits is
+    the worst case, bounded in practice by max_bucket."""
+    banded = cap_buckets(lsh_tables(df.select(id_col, vec_col), vec_col,
+                                    n_tables, n_bits, seed, dim),
+                         max_bucket)
+    left = banded.select(F.col(id_col).alias("a"),
+                         F.col(vec_col).alias("va"), "table", "bucket")
+    right = banded.select(F.col(id_col).alias("b"),
+                          F.col(vec_col).alias("vb"), "table", "bucket")
+    cand = (left.join(right, on=["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "va", "vb")
+            .dropDuplicates(["a", "b"]))
+    return (cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
 
 
 def embedding_near_dups_exact(df: DataFrame, vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              threshold: float = 0.95) -> DataFrame:
+                              threshold: float = 0.95,
+                              max_rows: int = 100_000) -> DataFrame:
     """Exact all-pairs cosine near-dup: the brute-force baseline whose
     output the LSH path (embedding_near_dups) approximates. O(n^2) theta
-    self-join (a < b) — the small-N / per-bucket verify path; at corpus
-    scale, bucket with embedding_near_dups and this becomes the in-bucket
-    verify."""
+    self-join (a < b) — strictly the small-N / verify kernel: it REFUSES
+    inputs over max_rows (10^5 rows is already 5·10^9 cosine evals) so a
+    full corpus can never silently take the quadratic path; use
+    embedding_near_dups there."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dups_exact is the O(n²) verify kernel: got "
+            f"{n} rows > max_rows={max_rows}; use embedding_near_dups "
+            f"(banded LSH) for corpus-scale dedup")
     left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = left.join(right, F.col("a") < F.col("b"))

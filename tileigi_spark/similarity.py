@@ -27,36 +27,44 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .select(q_id, c_id, "cosine", "sim_rank"))
 
 
-def _ivf_bucket(vec_col, n_planes: int):
-    """Sign-of-projection bucket id (deterministic hyperplanes)."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(vec_col.cast("array<double>"), dim_idx,
-                       lambda v, j: v * F.sin((j + 1) * F.lit(float(2 * p + 1)))),
-            F.lit(0.0), lambda a, x: a + x)
-        bucket = bucket + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket
-
-
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
              q_id: str = "query_id", c_id: str = "vec_id",
              q_vec: str = "q_vec", c_vec: str = "embedding",
-             n_planes: int = 4, n_probes: int = 4) -> DataFrame:
-    """Approximate top-k: bucket corpus once by hyperplane signs (IVF-style
-    inverted lists as a hash-partitioned column), probe each query's own
-    bucket plus its `n_probes`-nearest sibling buckets (Hamming-1 flips),
-    then exact-score only candidates in probed buckets. At 10^12 scale the
-    corpus-side bucket column is computed at scan (no UDF) and the join is
-    equi on bucket — shuffle size ~ corpus/2^n_planes * probes."""
-    c = corpus.withColumn("bucket", _ivf_bucket(F.col(c_vec), n_planes))
-    q0 = queries.withColumn("bucket0", _ivf_bucket(F.col(q_vec), n_planes))
-    probes = [F.col("bucket0")]
-    for p in range(min(n_probes - 1, n_planes)):
-        probes.append(F.col("bucket0").bitwiseXOR(F.lit(2 ** p)))
-    q = q0.withColumn("bucket", F.explode(F.array(*probes))).drop("bucket0")
-    joined = q.join(c, on="bucket")
+             n_tables: int = 8, n_bits: int = 8, n_probes: int = 8,
+             seed: int = 42, max_bucket: int = 1_000_000,
+             dim: int | None = None) -> DataFrame:
+    """Approximate top-k via banded sign-LSH inverted lists + multiprobe.
+
+    Corpus is bucketed once per table (n_tables × 2^n_bits inverted
+    lists, hash-partitioned by the equi-join — at 10^12 scale the bucket
+    columns are computed at scan with JVM HOFs, no UDF). Each query
+    probes its own bucket per table plus n_probes Hamming-1 flips, then
+    exact-scores only candidates in probed buckets. Candidate fraction ≈
+    n_tables·(1+n_probes)/2^n_bits of the corpus (raise n_bits with
+    corpus size); max_bucket drops degenerate hot lists."""
+    from .dedup import cap_buckets, infer_dim, lsh_tables, rand_hyperplanes, sign_bits
+
+    dim = dim or infer_dim(corpus, c_vec)
+    c = cap_buckets(lsh_tables(corpus.select(c_id, c_vec), c_vec,
+                               n_tables, n_bits, seed, dim), max_bucket)
+
+    qbits = sign_bits(F.col(q_vec),
+                      rand_hyperplanes(dim, n_tables * n_bits, seed))
+    probe_keys = []
+    for t in range(n_tables):
+        base = sum(qbits[t * n_bits + i] * (2 ** i) for i in range(n_bits))
+        probe_keys.append(F.struct(F.lit(t).alias("table"),
+                                   base.cast("int").alias("bucket")))
+        for p in range(min(n_probes, n_bits)):
+            probe_keys.append(F.struct(
+                F.lit(t).alias("table"),
+                base.cast("int").bitwiseXOR(F.lit(2 ** p)).alias("bucket")))
+    q = (queries
+         .select("*", F.explode(F.array(*probe_keys)).alias("_probe"))
+         .select("*", "_probe.table", "_probe.bucket").drop("_probe"))
+
+    joined = (q.join(c, on=["table", "bucket"])
+              .dropDuplicates([q_id, c_id]))
     scored = joined.withColumn("cosine", cosine_sim(F.col(q_vec),
                                                     F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
