@@ -863,15 +863,37 @@ def _q_tiles(spark, sf_dir):
 
 
 def _q_multimodal(spark, sf_dir):
-    """Multimodal plumbing: binary-column image feature extraction
-    (deterministic stub codec; rows-only check)."""
-    from tileigi_spark.multimodal import image_features
+    """Multimodal image pipeline over real PNG bytes: synthesize a valid
+    PNG per document (deterministic size from doc_id), run the binary
+    column through image_features, and emit the parsed header metadata —
+    true width/height/channels, SQL-predictable."""
+    import pandas as pd
+    from tileigi_spark.multimodal import image_features, tiny_png
 
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob")))
-    return (image_features(docs, bin_col="blob")
-            .select("doc_id", "width", "height", "format")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def make_png(iterator):
+        for pdf in iterator:
+            out = pdf.copy()
+            out["blob"] = [tiny_png(1 + int(d) % 64, 1 + (int(d) * 7) % 64)
+                           for d in pdf["doc_id"]]
+            yield out[["doc_id", "blob"]]
+
+    blobs = docs.mapInPandas(make_png, schema="doc_id long, blob binary")
+    return (image_features(blobs, bin_col="blob")
+            .select("doc_id", "width", "height", "channels", "format")
             .orderBy("doc_id"))
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+  1 + doc_id % 64 AS width,
+  1 + (doc_id * 7) % 64 AS height,
+  3 AS channels,
+  'png' AS format
+FROM documents ORDER BY doc_id
+"""
 
 
 # ------------------------------------------------------------ entrypoints
@@ -930,7 +952,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SQL,
         "bbox_pyramid": _bbox_pyramid_sql(),
         "poly_pieces_z2": _POLY_PIECES_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash
         # (xxhash64 has no DuckDB equivalent), mvt_pyramid (binary tile
-        # bytes), multimodal_features (binary codec)
+        # bytes; pinned by golden-byte pytest fixtures instead)
     }

@@ -64,6 +64,38 @@ def test_resume_skips_done(spark, tmp_path):
     assert n_tiles == 3  # no duplicates written on resume
 
 
+def test_crash_between_write_and_mark_is_safe(spark, tmp_path):
+    """A crash after write_tiles but before mark_done leaves duplicate
+    map/images rows after the resume re-render; read_tiles must collapse
+    them (content-addressed tiles, any copy correct)."""
+    from tileigi_spark.io import TileStore, run_pyramid_with_checkpoint
+
+    store = TileStore(str(tmp_path / "crash"))
+    tiles = _tiny_tiles(spark)
+    # simulate the crash window: tiles written, checkpoint never marked
+    store.write_tiles(tiles)
+    assert store.done_keys(spark) is None
+
+    def build(zoom, done):
+        df = tiles.filter(F.col("zoom") == zoom)
+        if done is not None:
+            df = df.join(done, on=["zoom", "x", "y"], how="left_anti")
+        return df
+
+    run_pyramid_with_checkpoint(spark, store, build, [0, 1])
+    # raw map table has the duplicates; the read view does not
+    assert spark.read.parquet(str(tmp_path / "crash" / "map")).count() == 6
+    back = store.read_tiles(spark)
+    assert back.count() == 3
+    got = {(r["zoom"], r["x"], r["y"]): bytes(r["tile"])
+           for r in back.collect()}
+    assert got[(0, 0, 0)] == b"tile-a"
+    assert store.done_keys(spark).count() == 3
+    # staging is cleaned up
+    import glob
+    assert not glob.glob(str(tmp_path / "crash" / "staging_z*"))
+
+
 def test_mbtiles_export(spark, tmp_path):
     from tileigi_spark.io import export_mbtiles
 
@@ -386,6 +418,28 @@ def test_extractor_formats():
     assert extract_one("no coords") is None
     # latitude beyond the web-mercator limit is rejected
     assert extract_one("89.0, 10.0") is None
+
+
+def test_image_header_parsing():
+    """Real container headers parse to true dimensions (pure Python)."""
+    import struct
+
+    from tileigi_spark.multimodal import parse_image_header, tiny_png
+
+    assert parse_image_header(tiny_png(7, 5)) == (7, 5, 3, "png")
+    assert parse_image_header(tiny_png(640, 480, color_type=6)) == \
+        (640, 480, 4, "png")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert parse_image_header(gif) == (320, 200, 3, "gif")
+    # minimal JPEG: SOI + APP0 + SOF0(h=120, w=160, 3 comps) + EOI
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 120, 160) + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9")
+    assert parse_image_header(jpeg) == (160, 120, 3, "jpeg")
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
 
 
 def test_multimodal_plumbing(spark):

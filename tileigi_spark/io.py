@@ -59,14 +59,38 @@ class TileStore:
         self._write(images, "images")
 
     def read_tiles(self, spark: SparkSession) -> DataFrame | None:
+        """Duplicate (zoom,x,y) map rows and duplicate tile_id image rows
+        can exist after a crash between a tile write and its checkpoint
+        mark; tiles are content-addressed and deterministic, so keeping
+        any one copy is correct."""
         m = self._read(spark, "map")
         i = self._read(spark, "images")
         if m is None or i is None:
             return None
-        return (m.join(i, on="tile_id")
+        return (m.dropDuplicates(["zoom", "x", "y"])
+                .join(i.dropDuplicates(["tile_id"]), on="tile_id")
                 .select("zoom", "x", "y",
                         F.col("tile_data").alias("tile"),
                         F.col("tile_id").alias("tile_md5")))
+
+    # --------------------------------------------------------- staging
+
+    def write_staging(self, tiles: DataFrame, zoom: int):
+        """Materialize one zoom batch exactly once (single pass over the
+        expensive build plan). Replaces the old tiles.cache(): gigabytes
+        of gzipped tile bytes do not belong in executor storage memory at
+        scale — they belong on disk, where the two derive scans (map keys
+        + deduped images) read them back columnar."""
+        self._write(tiles, f"staging_z{zoom}", mode="overwrite")
+
+    def read_staging(self, spark: SparkSession, zoom: int) -> DataFrame | None:
+        return self._read(spark, f"staging_z{zoom}")
+
+    def drop_staging(self, zoom: int):
+        if not self.use_iceberg:
+            import shutil
+            shutil.rmtree(os.path.join(self.base, f"staging_z{zoom}"),
+                          ignore_errors=True)
 
     # ------------------------------------------------------ checkpointing
 
@@ -98,10 +122,13 @@ class TileStore:
 def run_pyramid_with_checkpoint(spark: SparkSession, store: TileStore,
                                 build_fn, zooms: list[int],
                                 run_id: str = "run") -> None:
-    """Resumable driver loop: per zoom-batch, anti-join finished keys, build,
-    write tiles, then mark keys done. A killed job rerun with the same store
-    skips completed zoom batches entirely and completed tiles within a
-    partially-finished batch."""
+    """Resumable driver loop: per zoom-batch, anti-join finished keys,
+    build, stage the batch to storage in ONE pass, then derive the map/
+    images writes and the checkpoint keys FROM the staged table (never
+    from a re-execution or an executor-memory cache of tile bytes). The
+    checkpoint append is last, so a crash anywhere re-renders at most one
+    batch; duplicate rows from the crash window are collapsed by
+    read_tiles (content-addressed tiles make any copy correct)."""
     import time
 
     done = store.done_keys(spark)
@@ -110,16 +137,17 @@ def run_pyramid_with_checkpoint(spark: SparkSession, store: TileStore,
         tiles = build_fn(zoom, done)
         if tiles is None:
             continue
-        tiles = tiles.cache()
-        n = tiles.count()
+        store.write_staging(tiles, zoom)
+        staged = store.read_staging(spark, zoom)
+        n = 0 if staged is None else staged.count()
         if n:
-            store.write_tiles(tiles)
-            store.mark_done(tiles.select("zoom", "x", "y"))
+            store.write_tiles(staged)
+            store.mark_done(staged.select("zoom", "x", "y"))
         store.append_metrics(spark, [{
             "run_id": run_id, "stage": "pyramid", "zoom": zoom,
             "rows": n, "secs": time.time() - t0,
         }])
-        tiles.unpersist()
+        store.drop_staging(zoom)
         done = store.done_keys(spark)
 
 

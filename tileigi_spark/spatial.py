@@ -40,17 +40,71 @@ def point_in_polygon(px, py, geom) -> bool:
     return False
 
 
+def _rings_edges(rings):
+    """Pack a ring list into per-edge numpy columns (E,1 shaped for
+    broadcasting against the point axis)."""
+    import numpy as np
+
+    xs1, ys1, xs2, ys2 = [], [], [], []
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)
+        xs1.append(arr[:-1, 0]); ys1.append(arr[:-1, 1])
+        xs2.append(arr[1:, 0]); ys2.append(arr[1:, 1])
+    x1 = np.concatenate(xs1)[:, None]
+    y1 = np.concatenate(ys1)[:, None]
+    x2 = np.concatenate(xs2)[:, None]
+    y2 = np.concatenate(ys2)[:, None]
+    return x1, y1, x2, y2
+
+
+def _pip_many(X, Y, polys):
+    """Vectorized even-odd for a batch of points against one geometry's
+    polygon list. Arithmetic mirrors _point_in_rings term-for-term (same
+    crossing formula and comparisons), evaluated edges × points."""
+    import numpy as np
+
+    inside = np.zeros(len(X), dtype=bool)
+    for rings in polys:
+        x1, y1, x2, y2 = _rings_edges(rings)
+        n_edges = x1.shape[0]
+        # bound the (edges x points) temporary to ~32 MB per slab
+        step = max(1, 4_000_000 // max(n_edges, 1))
+        parity = np.zeros(len(X), dtype=np.int64)
+        for s in range(0, len(X), step):
+            Xs = X[s:s + step]
+            Ys = Y[s:s + step]
+            mask = (y1 > Ys) != (y2 > Ys)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xc = x1 + (Ys - y1) * (x2 - x1) / (y2 - y1)
+            parity[s:s + step] = ((xc > Xs) & mask).sum(axis=0)
+        inside |= (parity % 2 == 1)
+    return inside
+
+
 @F.pandas_udf(BooleanType())
 def _pip_refine(px: pd.Series, py: pd.Series, way: pd.Series) -> pd.Series:
-    out = []
-    cache = {}
-    for x, y, w in zip(px, py, way):
-        wb = bytes(w)
-        g = cache.get(wb)
-        if g is None:
-            g = wkb_to_geom(wb)
-            cache[wb] = g
-        out.append(point_in_polygon(float(x), float(y), g))
+    """Exact refine over the cell-join candidates: decode each distinct
+    polygon once per batch, then run the numpy even-odd kernel for all of
+    its candidate points at once (the hot inner loop of J4 — the scalar
+    per-row path was the 10-50x bottleneck)."""
+    import numpy as np
+
+    pxv = px.to_numpy(dtype=np.float64)
+    pyv = py.to_numpy(dtype=np.float64)
+    out = np.zeros(len(pxv), dtype=bool)
+    groups: dict[bytes, list[int]] = {}
+    for i, w in enumerate(way):
+        groups.setdefault(bytes(w), []).append(i)
+    for wb, rows in groups.items():
+        typ, data = wkb_to_geom(wb)
+        if typ == "Polygon":
+            polys = [data]
+        elif typ == "MultiPolygon":
+            polys = data
+        else:
+            continue
+        idx = np.asarray(rows, dtype=np.int64)
+        out[idx] = _pip_many(pxv[idx], pyv[idx], polys)
     return pd.Series(out)
 
 
