@@ -205,6 +205,62 @@ name = "osm"
     assert layers.layers[0].minzoom == 5
 
 
+def test_config_sql_table_sources(tmp_path):
+    """tm2source subquery tables and tegola provider SQL become Layer.sql
+    (TableSQL, input/mod.rs:88-123; tegola wrap, input/tegola.rs:79-117)."""
+    from tileigi_spark.config import layers_from_file, substitute_sql_tokens
+
+    yml = tmp_path / "sql_layers.yml"
+    yml.write_text("""
+minzoom: 0
+maxzoom: 14
+Layer:
+  - id: big_roads
+    Datasource:
+      table: ( SELECT way, kind FROM roads WHERE !scale_denominator! < 1e7 ) AS data
+""")
+    layers = layers_from_file(str(yml))
+    assert layers.layers[0].sql is not None
+    assert layers.layers[0].sql.startswith("SELECT * FROM (")
+    sub = substitute_sql_tokens(layers.layers[0].sql, 7)
+    assert "!scale_denominator!" not in sub and "6500000.0" in sub
+
+    toml = tmp_path / "sql_cfg.toml"
+    toml.write_text("""
+[[providers]]
+name = "pg"
+  [[providers.layers]]
+  name = "pois"
+  sql = "SELECT way, name FROM pois WHERE zoom_min <= !zoom!"
+
+[[maps]]
+name = "m"
+  [[maps.layers]]
+  provider_layer = "pg.pois"
+""")
+    layers = layers_from_file(str(toml))
+    assert layers.layers[0].sql is not None
+    assert "!zoom!" in layers.layers[0].sql
+    assert "!zoom!" not in substitute_sql_tokens(layers.layers[0].sql, 3)
+
+
+def test_sql_layer_build(spark):
+    """A Layer.sql source renders through build_tiles, with per-zoom
+    !zoom! substitution gating which zooms receive features."""
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles
+    from tileigi_spark.fixtures import features_df
+
+    feats = features_df(spark, 30)
+    layers = Layers(layers=[Layer(
+        id="gated", source="feats",
+        sql="SELECT * FROM feats WHERE !zoom! >= 1")],
+        global_maxzoom=14)
+    tiles = build_tiles(spark, {"feats": feats}, layers, 0, 2)
+    zs = sorted({r["zoom"] for r in tiles.select("zoom").collect()})
+    assert zs and min(zs) == 1  # z0 excluded by the token predicate
+
+
 # ------------------------------------------------------------- operators
 
 @pytest.fixture(scope="module")

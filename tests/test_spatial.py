@@ -80,3 +80,40 @@ class TestKnn:
             for rank, (_, cid) in enumerate(scored[:k], start=1):
                 expected.add((qid, cid, rank))
         assert got_pairs == expected
+
+
+def test_latlng_cell_grid(spark):
+    """Pole-safe equal-angle lat/lng cells: points above the mercator
+    latitude limit still get distinct, joinable keys."""
+    from tileigi_spark.index import latlng_cell_col
+
+    df = spark.createDataFrame(
+        [(1, 89.5, 10.0), (2, 89.5, 10.1), (3, 89.5, -170.0),
+         (4, -89.5, 10.0), (5, 0.0, 0.0)],
+        "pid long, lat double, lng double")
+    got = {r["pid"]: r["cell"] for r in df.select(
+        "pid", latlng_cell_col(F.col("lat"), F.col("lng"), 8)
+        .alias("cell")).collect()}
+    assert got[1] == got[2]          # same 1.4-degree cell near the pole
+    assert got[1] != got[3]          # far-apart longitudes differ
+    assert got[1] != got[4]          # opposite poles differ
+    assert len(set(got.values())) == 4
+
+
+def test_h3_adapter_seam(spark):
+    """h3_cell_col either produces H3 cells (library present) or raises
+    the documented ImportError pointing at the grid alternatives."""
+    from tileigi_spark.index import h3_cell_col
+
+    try:
+        import h3  # noqa: F401
+    except ImportError:
+        import pytest
+        with pytest.raises(ImportError, match="cell_col"):
+            h3_cell_col(F.col("lat"), F.col("lng"), 7)
+        return
+    df = spark.createDataFrame([(48.85, 2.35), (48.86, 2.36)],
+                               "lat double, lng double")
+    cells = df.select(h3_cell_col(F.col("lat"), F.col("lng"), 5)
+                      .alias("c")).collect()
+    assert cells[0]["c"] == cells[1]["c"]

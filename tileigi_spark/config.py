@@ -28,6 +28,51 @@ class Layer:
     maxzoom: int = 14
     buffer: int = 0  # config pixels; 1 px = 16 tile units (lib.rs:508)
     zoom_filter: str | None = None
+    # full SQL over the registered source tables (TableSQL,
+    # input/mod.rs:88-123): supports the !zoom! / !scale_denominator! /
+    # !pixel_width! / !pixel_height! template tokens, substituted per
+    # zoom before execution; !bbox! is handled by the engine's cover join
+    # and substituted with a tautology
+    sql: str | None = None
+
+
+_SQL_MARKERS = ("select", "(", " ")
+
+
+def looks_like_sql(table: str) -> bool:
+    """tm2source Datasource.table values are either a bare table name or
+    an inline subquery like '( SELECT ... ) AS data' (tmsource.rs,
+    input/mod.rs:88-123)."""
+    t = table.strip().lower()
+    return t.startswith("(") or "select" in t or " " in t
+
+
+def substitute_sql_tokens(sql: str, zoom: int,
+                          pixel_size: float | None = None) -> str:
+    """input/mod.rs:97-119: replace the mapnik-style template tokens with
+    per-zoom constants. The engine's bbox cover join replaces the
+    reference's per-metatile !bbox! && probe, so !bbox! becomes TRUE."""
+    from .mercator import MERC_MAX, scale_denominator_for_zoom
+
+    if pixel_size is None:
+        pixel_size = (2.0 * MERC_MAX) / (256.0 * (1 << zoom))
+    out = sql.replace("!zoom!", str(zoom))
+    out = out.replace("!scale_denominator!",
+                      repr(scale_denominator_for_zoom(zoom)))
+    out = out.replace("!pixel_width!", repr(pixel_size))
+    out = out.replace("!pixel_height!", repr(pixel_size))
+    out = out.replace("!bbox!", "TRUE")
+    return out
+
+
+def wrap_layer_sql(sql: str) -> str:
+    """Tegola wraps provider SQL as a derived table (input/tegola.rs:
+    79-117); accept both bare SELECTs and pre-parenthesised tm2source
+    subqueries."""
+    s = sql.strip().rstrip(";")
+    if s.lower().startswith("select"):
+        return f"SELECT * FROM ({s}) _layer_sql"
+    return f"SELECT * FROM {s}"
 
 
 @dataclass
@@ -72,9 +117,12 @@ def layers_from_yaml(path: str) -> Layers:
     for entry in doc.get("Layer", []):
         props = entry.get("properties", {}) or {}
         ds = entry.get("Datasource", {}) or {}
+        table = ds.get("table", entry["id"])
+        is_sql = looks_like_sql(table)
         layers.append(Layer(
             id=entry["id"],
-            source=ds.get("table", entry["id"]),
+            source=entry["id"] if is_sql else table,
+            sql=wrap_layer_sql(table) if is_sql else None,
             minzoom=int(props.get("minzoom", global_minzoom)),
             maxzoom=int(props.get("maxzoom", global_maxzoom)),
             buffer=int(props.get("buffer-size", 0)),
@@ -113,9 +161,11 @@ def layers_from_toml(path: str) -> Layers:
             pname = ml.get("provider_layer", ml.get("name", ""))
             pname = pname.split(".")[-1]
             pl = provider_layers.get(pname, {})
+            sql = pl.get("sql")
             layers.append(Layer(
                 id=ml.get("name", pname),
-                source=pl.get("tablename", pl.get("sql", pname)),
+                source=pl.get("tablename", pname),
+                sql=wrap_layer_sql(sql) if sql else None,
                 minzoom=int(ml.get("min_zoom", global_minzoom)),
                 maxzoom=int(ml.get("max_zoom", global_maxzoom)),
                 buffer=int(pl.get("buffer", 0)),

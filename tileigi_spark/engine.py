@@ -592,28 +592,64 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
                    if bbox_merc is not None else None)
     per_layer = []
     prop_types: dict[str, dict] = {}
-    for order, layer in enumerate(layers.layers):
-        src = sources[layer.source]
+
+    def _prep(src: DataFrame) -> DataFrame:
         if "feature_id" not in src.columns:
-            src = src.withColumn("feature_id",
-                                 F.xxhash64(F.col("way")))
+            src = src.withColumn("feature_id", F.xxhash64(F.col("way")))
         # sources may carry precomputed bbox columns (geo-table practice;
         # keeps the whole pre-shuffle pipeline JVM-side for point tables);
         # otherwise one Arrow pass decodes WKB
-        if {"xmin", "ymin", "xmax", "ymax"} <= set(src.columns):
-            feats = src
-        else:
-            feats = with_bbox(src)
+        if not {"xmin", "ymin", "xmax", "ymax"} <= set(src.columns):
+            src = with_bbox(src)
+        return src
+
+    sql_views_made = False
+    for order, layer in enumerate(layers.layers):
         layer_zooms = [z for z in zooms
                        if layer.minzoom <= z <= min(layer.maxzoom,
                                                     layers.global_maxzoom)]
         if not layer_zooms:
             continue
-        covered = cover_metatiles(feats, layer_zooms, layer.buffer,
-                                  metatile_scale,
-                                  zoom_filter=getattr(layer, "zoom_filter",
-                                                      None),
-                                  bbox_merc=bbox_merc)
+        zoom_filter = getattr(layer, "zoom_filter", None)
+        layer_sql = getattr(layer, "sql", None)
+        if layer_sql:
+            # SQL-template table source (TableSQL, input/mod.rs:88-123):
+            # the layer's SQL runs over the registered source tables.
+            # With !zoom!/!scale_denominator! tokens the query is
+            # re-resolved per zoom (the reference substitutes per
+            # metatile; the value set is per-zoom), otherwise once for
+            # the whole zoom range.
+            from .config import substitute_sql_tokens
+
+            if not sql_views_made:
+                for name, df in sources.items():
+                    df.createOrReplaceTempView(name)
+                sql_views_made = True
+            if "!" in layer_sql:
+                covered = None
+                src = None
+                for z in layer_zooms:
+                    src_z = spark.sql(substitute_sql_tokens(layer_sql, z))
+                    if src is None:
+                        src = src_z
+                    cov_z = cover_metatiles(_prep(src_z), [z], layer.buffer,
+                                            metatile_scale,
+                                            zoom_filter=zoom_filter,
+                                            bbox_merc=bbox_merc)
+                    covered = (cov_z if covered is None
+                               else covered.unionByName(cov_z))
+            else:
+                src = spark.sql(layer_sql)
+                covered = cover_metatiles(_prep(src), layer_zooms,
+                                          layer.buffer, metatile_scale,
+                                          zoom_filter=zoom_filter,
+                                          bbox_merc=bbox_merc)
+        else:
+            src = sources[layer.source]
+            covered = cover_metatiles(_prep(src), layer_zooms, layer.buffer,
+                                      metatile_scale,
+                                      zoom_filter=zoom_filter,
+                                      bbox_merc=bbox_merc)
         if metatile_keys is not None:
             covered = covered.join(F.broadcast(metatile_keys),
                                    on=["zoom", "mtx", "mty"],

@@ -75,9 +75,16 @@ def geotag_pages(pages_df, text_col: str = "text", url_col: str = "url"):
     Runs as one mapInPandas pass (Arrow-batched, no per-row Python at the
     plan level); rows with no coordinate mention are dropped.
     """
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
     from .mercator import lonlat_to_merc
     from .geom.wkb import geom_to_wkb
+
+    # JVM-side prefilter: every coordinate mention contains a
+    # digit(1-3).digit token, so the no-match majority of a real crawl is
+    # skipped before any bytes cross into Python (rlike is a cheap
+    # codegen'd scan predicate; the Python regex stays authoritative)
+    pages_df = pages_df.filter(
+        F.col(text_col).rlike(r"\d{1,3}\.\d"))
 
     out_schema = ("url string, lang string, lat double, lon double, "
                   "mx double, my double, span string, way binary")

@@ -66,6 +66,50 @@ def bbox_cover_cells(df: DataFrame, zoom: int,
             .drop("_ccx", "_ccy"))
 
 
+def latlng_cell_col(lat, lng, zoom: int):
+    """Equal-angle lat/lng grid cell (pure Catalyst arithmetic): the
+    pole-safe keying for lat/lng-space joins where mercator-grid cells
+    degenerate (|lat| near 85°+ has no mercator cell at all). 2^zoom
+    columns x 2^(zoom-1) rows of (360/2^zoom)° cells."""
+    n = 1 << zoom
+    cx = F.least(F.lit(n - 1).cast("long"),
+                 F.greatest(F.lit(0).cast("long"),
+                            F.floor((lng + F.lit(180.0)) / F.lit(360.0 / n))))
+    ny = max(n // 2, 1)
+    cy = F.least(F.lit(ny - 1).cast("long"),
+                 F.greatest(F.lit(0).cast("long"),
+                            F.floor((F.lit(90.0) - lat)
+                                    / F.lit(180.0 / ny))))
+    return (cx * F.lit(1 << 32) + cy).cast("long")
+
+
+def h3_cell_col(lat, lng, resolution: int):
+    """H3 cell id via the `h3` library (vectorized pandas UDF) — the
+    adapter seam BASELINE.json's "H3/S2 indexing" names. The library is
+    not baked into this container; callers get a clear ImportError (the
+    slippy-grid cell_col / latlng_cell_col paths are the always-available
+    equivalents; every join in spatial.py keys on an opaque long, so the
+    schemes are drop-in interchangeable)."""
+    try:
+        import h3  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "h3 library not available: use cell_col (mercator grid) or "
+            "latlng_cell_col (equal-angle grid) instead") from e
+
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _h3(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        import h3
+        return pd.Series(
+            [int(h3.latlng_to_cell(float(a), float(o), resolution), 16)
+             for a, o in zip(lat_s, lng_s)], dtype="int64")
+
+    return _h3(lat, lng)
+
+
 def disk_cells(df: DataFrame, cx_col: str, cy_col: str, radius: int,
                zoom: int, out="cell") -> DataFrame:
     """grid_disk ring expansion (J5): explode each row to the (2r+1)^2
