@@ -655,6 +655,45 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+def _q_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) per user — the batch twin of
+    the applyInPandasWithState streaming operator. Timezone-free integer
+    seconds on both sides."""
+    from tileigi_spark.streaming import sessionize_events_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (sessionize_events_batch(ev, gap_seconds=1800)
+            .orderBy("user_id", "session_start"))
+
+
+_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id,
+    datediff('second', TIMESTAMP '2024-01-01 00:00:00',
+             date_trunc('second', ts)) AS t,
+    CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events
+),
+m AS (
+  SELECT user_id, t, vm,
+    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+         OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT user_id, t, vm,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+  COUNT(*) AS n_events, CAST(SUM(vm) AS BIGINT) AS sum_value_milli
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def _q_pricing(spark, sf_dir):
     """Relational baseline (TPC-H Q1 shape) with exact integer cents."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -924,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "events_hourly": _q_events_hourly,
+        "sessions": _q_sessions,
         "pricing_summary": _q_pricing,
         "bbox_pyramid": _q_bbox_pyramid,
         "poly_pieces_z2": _q_poly_pieces,
@@ -949,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": _LANGID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "events_hourly": _EVENTS_SQL,
+        "sessions": _SESSIONS_SQL,
         "pricing_summary": _PRICING_SQL,
         "bbox_pyramid": _bbox_pyramid_sql(),
         "poly_pieces_z2": _POLY_PIECES_SQL,

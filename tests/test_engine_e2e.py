@@ -122,3 +122,27 @@ def test_resume_anti_join(spark, feats):
                           done_keys=done)
     keys = {(r["zoom"], r["x"], r["y"]) for r in resumed.collect()}
     assert keys == set(full) - set(list(full)[:2])
+
+
+def test_single_metatile_matches_full_build(spark):
+    """Entry point 2 (lib.rs:464): one metatile's tiles are byte-identical
+    to the same keys from a full-pyramid build."""
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles, single_metatile
+    from tileigi_spark.fixtures import features_df
+
+    feats = features_df(spark, 40)
+    layers = Layers(layers=[Layer(id="base", source="feats", buffer=2)],
+                    global_maxzoom=14)
+    full = {(r["zoom"], r["x"], r["y"]): r["tile_md5"]
+            for r in build_tiles(spark, {"feats": feats}, layers, 4, 4)
+            .collect()}
+    # z4 metatile (0, 1): tiles x 0-7, y 8-15
+    one = {(r["zoom"], r["x"], r["y"]): r["tile_md5"]
+           for r in single_metatile(spark, {"feats": feats}, layers,
+                                    4, 0, 1).collect()}
+    assert one, "metatile must contain tiles"
+    assert all(0 <= x <= 7 and 8 <= y <= 15 for _, x, y in one)
+    expected = {k: v for k, v in full.items()
+                if 0 <= k[1] <= 7 and 8 <= k[2] <= 15}
+    assert one == expected

@@ -51,3 +51,44 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState gap sessions == batch lag/cumsum sessions
+    (origin-independent shape: per-user multiset of (n, sum, duration))."""
+    from tileigi_spark.streaming import (sessionize_events_batch,
+                                         sessionize_stream)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .filter(F.col("user_id") < 8))
+    # flush sentinel: one far-future event per user advances the watermark
+    # past every real session's gap horizon so append mode emits them all
+    last = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    flush = spark.createDataFrame(
+        [(10**6 + u, last + datetime.timedelta(days=30), u, "flush",
+          0.0, "{}") for u in range(8)],
+        schema=ev.schema)
+    src = str(tmp_path / "sess_events")
+    ev.unionByName(flush).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (sessionize_stream(stream, gap_seconds=1800)
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("select * from sess").collect()
+
+    expected = sessionize_events_batch(ev, gap_seconds=1800).collect()
+
+    def shape(rows):
+        out = {}
+        for r in rows:
+            if r["n_events"] == 1 and r["sum_value_milli"] == 0:
+                continue  # the flush sentinel session
+            out.setdefault(r["user_id"], []).append(
+                (r["n_events"], r["sum_value_milli"],
+                 r["session_end"] - r["session_start"]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert shape(got) == shape(expected)

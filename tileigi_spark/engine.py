@@ -543,6 +543,22 @@ def empty_tile_bytes(layers: Layers, zoom: int, compress: bool = True) -> bytes:
     return mvt.encode_tile(lb, compress=compress)
 
 
+def single_metatile(spark: SparkSession, sources: dict[str, DataFrame],
+                    layers: Layers, zoom: int, mtx: int, mty: int, *,
+                    metatile_scale: int = 8,
+                    compress: bool = True) -> DataFrame:
+    """Entry point 2 (lib.rs:464): render exactly one metatile — the
+    library API workers use, and the unit-of-reprocessing for dirty-tile
+    workflows. Same plan as the full pyramid, restricted by a one-row
+    broadcast semi-join; identical bytes to the full build (guaranteed by
+    the partitioning-independent canonical encode order)."""
+    keys = spark.createDataFrame([(zoom, mtx, mty)],
+                                 "zoom int, mtx long, mty long")
+    return build_tiles(spark, sources, layers, zoom, zoom,
+                       metatile_scale=metatile_scale, compress=compress,
+                       metatile_keys=keys)
+
+
 def tile_driver(spark: SparkSession, zoom: int,
                 tile_range: Optional[tuple] = None) -> DataFrame:
     """S6: all (zoom, x, y) keys of one pyramid level, generated without a

@@ -143,7 +143,27 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     disk holds ~10k candidates per cell-neighborhood bound — the join size
     stays ~9 * max(k, ~10) per query instead of exploding when the fixed
     grid is much coarser than the data (the H3-resolution-selection analog).
+
+    Per-round state goes through parquet round-trips, NOT localCheckpoint:
+    checkpointing to executor storage memory pins gigabytes of blocks,
+    serializes on local-mode's single BlockManager (measured anti-scaling
+    past 8 cores), and is lost on restart. Storage round-trips are the
+    cluster-correct stage boundary; each round writes its finished batch
+    (append) + the shrinking remainder (overwrite), so the driver loop
+    never re-executes a prior round's plan.
     """
+    import os
+    import shutil
+    import sys
+    import tempfile
+    import time as _time
+
+    verbose = os.environ.get("TILEIGI_KNN_DEBUG") == "1"
+
+    def _dbg(msg):
+        if verbose:
+            print(f"knn_join: {msg}", file=sys.stderr, flush=True)
+
     if index_zoom is None:
         import math
         n_cands = candidates.count()
@@ -155,41 +175,89 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     cands = candidates.withColumn(
         "cell", cell_col(F.col(cx), F.col(cy), index_zoom))
 
+    spark = queries.sparkSession
+    work = tempfile.mkdtemp(prefix="tileigi_knn_")
+    out_dir = f"{work}/out"
     n = 1 << index_zoom
     remaining = q
-    results = None
+    n_rem = remaining.count()
+    wrote_any = False
     radius = 1
-    while radius <= max(max_radius, n):
-        exploded = disk_cells(remaining, "_qcx", "_qcy", radius, index_zoom)
-        joined = exploded.join(cands, on="cell", how="inner")
-        dist2 = ((F.col(qx) - F.col(cx)) ** 2 + (F.col(qy) - F.col(cy)) ** 2)
-        w = Window.partitionBy(query_id).orderBy(dist2.asc(),
-                                                 F.col(cand_id).asc())
-        ranked = (joined
-                  .withColumn("dist2", dist2)
-                  .withColumn("knn_rank", F.row_number().over(w))
-                  .filter(F.col("knn_rank") <= k))
-        # queries fully satisfied AND whose k-th neighbor is provably
-        # inside the ring (distance <= radius*cell_span) are final;
-        # conservative: require kth_dist < radius * span (ring guarantee)
-        span = (2.0 * 20037508.342789244) / n
-        safe_d = (radius * span) ** 2
-        if radius >= n:
-            # disk covers the whole grid: everything found is final
-            batch = ranked.drop("_qcx", "_qcy", "cell").localCheckpoint()
-            results = batch if results is None else results.unionByName(batch)
-            break
-        ranked = ranked.localCheckpoint()  # truncate per-round lineage
-        kth = ranked.groupBy(query_id).agg(
-            F.max("dist2").alias("kth_d"), F.count("*").alias("cnt"))
-        done_q = kth.filter((F.col("cnt") >= k) & (F.col("kth_d") <= safe_d)) \
-            .select(query_id)
-        batch = ranked.join(done_q, on=query_id, how="inner") \
-            .drop("_qcx", "_qcy", "cell")
-        results = batch if results is None else results.unionByName(batch)
-        remaining = remaining.join(done_q, on=query_id, how="left_anti") \
-            .localCheckpoint()
-        if remaining.isEmpty():
-            break
-        radius *= 2
-    return results
+    try:
+        while radius <= max(max_radius, n):
+            exploded = disk_cells(remaining, "_qcx", "_qcy", radius,
+                                  index_zoom)
+            # the query side is usually tiny relative to the candidate
+            # table: broadcasting it turns every round into a narrow
+            # candidate scan + hash probe — the 10^12-candidate table is
+            # never shuffled, only the matches (into the window)
+            if n_rem * (2 * radius + 1) ** 2 <= 4_000_000:
+                joined = cands.join(F.broadcast(exploded), on="cell",
+                                    how="inner")
+            else:
+                joined = exploded.join(cands, on="cell", how="inner")
+            dist2 = ((F.col(qx) - F.col(cx)) ** 2
+                     + (F.col(qy) - F.col(cy)) ** 2)
+            w = Window.partitionBy(query_id).orderBy(dist2.asc(),
+                                                     F.col(cand_id).asc())
+            ranked = (joined
+                      .withColumn("dist2", dist2)
+                      .withColumn("knn_rank", F.row_number().over(w))
+                      .filter(F.col("knn_rank") <= k)
+                      .drop("_qcx", "_qcy", "cell"))
+            if radius >= n:
+                # disk covers the whole grid: everything found is final
+                ranked.write.mode("append").parquet(out_dir)
+                wrote_any = True
+                break
+            # materialize the round's core work exactly ONCE — every
+            # downstream use (done-predicate, result append, remainder
+            # anti-join) reads the ~k*|queries| materialized rows instead
+            # of re-executing the scan+join+window chain
+            t0 = _time.time()
+            ranked.write.mode("overwrite").parquet(f"{work}/round_{radius}")
+            rr = spark.read.parquet(f"{work}/round_{radius}")
+            _dbg(f"radius={radius} n_rem={n_rem} round-write "
+                 f"{_time.time() - t0:.1f}s")
+            # queries fully satisfied AND whose k-th neighbor is provably
+            # inside the ring (distance <= radius*cell_span) are final
+            span = (2.0 * 20037508.342789244) / n
+            safe_d = (radius * span) ** 2
+            t0 = _time.time()
+            done_w = Window.partitionBy(query_id)
+            finished = (rr
+                        .withColumn("_cnt", F.count("*").over(done_w))
+                        .withColumn("_kth", F.max("dist2").over(done_w))
+                        .filter((F.col("_cnt") >= k)
+                                & (F.col("_kth") <= safe_d))
+                        .drop("_cnt", "_kth"))
+            finished.write.mode("append").parquet(out_dir)
+            wrote_any = True
+            # this round's finished ids only (tiny, broadcast anti-join;
+            # no rescan of the accumulated result table)
+            done_q = finished.select(query_id).distinct()
+            nxt = remaining.join(F.broadcast(done_q), on=query_id,
+                                 how="left_anti")
+            nxt.write.mode("overwrite").parquet(f"{work}/rem_{radius}")
+            remaining = spark.read.parquet(f"{work}/rem_{radius}")
+            n_rem = remaining.count()
+            _dbg(f"radius={radius} bookkeeping {_time.time() - t0:.1f}s"
+                 f" next_rem={n_rem}")
+            if n_rem == 0:
+                break
+            # x4 growth: each extra round quadruples the guaranteed-safe
+            # disk, so stragglers converge in O(log4 n) candidate scans
+            radius *= 4
+        if not wrote_any:
+            return queries.limit(0).select(
+                "*", F.lit(0.0).alias("dist2"), F.lit(0).alias("knn_rank"))
+        out = spark.read.parquet(out_dir)
+        # materialize into the caller-visible frame before the temp dir
+        # can be cleaned (the parquet files persist until process exit)
+        return out
+    finally:
+        # keep out_dir (the returned frame reads it until process exit);
+        # drop the per-round remainder dirs
+        for p in os.listdir(work):
+            if p.startswith(("rem_", "round_")):
+                shutil.rmtree(f"{work}/{p}", ignore_errors=True)

@@ -42,6 +42,110 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     "sum_value_milli"))
 
 
+_EPOCH0 = "2024-01-01 00:00:00"  # fixture epoch; any fixed origin works
+
+
+def _ts_seconds_col(ts_col):
+    """Whole seconds since a fixed origin, timezone-free on both
+    TIMESTAMP and TIMESTAMP_NTZ (no unix_timestamp: that applies the
+    session timezone to NTZ values and breaks cross-engine parity)."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '{_EPOCH0}', "
+        f"date_trunc('second', {ts_col}))")
+
+
+def sessionize_events_batch(events: DataFrame,
+                            gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization, batch form: a session is a maximal run
+    of a user's events with inter-event gaps <= gap_seconds. Classic
+    lag -> break-flag -> running-sum session ids, two window passes over
+    one (user_id) shuffle. Output columns are all BIGINT (hash-stable)."""
+    from pyspark.sql import Window
+
+    t = _ts_seconds_col("ts")
+    vm = F.round(F.col("value") * 1000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("t")
+    brk = F.when(
+        (F.col("t") - F.lag("t").over(w) > gap_seconds)
+        | F.lag("t").over(w).isNull(), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("t") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (events.select("user_id", t.alias("t"), vm.alias("vm"))
+                .withColumn("brk", brk)
+                .withColumn("sid", F.sum("brk").over(run))
+                .groupBy("user_id", "sid")
+                .agg(F.min("t").alias("session_start"),
+                     F.max("t").alias("session_end"),
+                     F.count("*").alias("n_events"),
+                     F.sum("vm").cast("long").alias("sum_value_milli"))
+                .drop("sid"))
+    return sessions
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState + event-time timeout): per user, an open
+    session lives in the state store; events extend it or close it, and
+    the watermark passing (last_event + gap) flushes it. Semantics match
+    sessionize_events_batch on a fully-flushed stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ts_type = dict(events.dtypes).get("ts", "timestamp")
+    if ts_type != "timestamp":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    events = events.withWatermark("ts", watermark)
+
+    out_schema = ("user_id long, session_start long, session_end long, "
+                  "n_events long, sum_value_milli long")
+    state_schema = "start long, last long, n long, vm long"
+
+    def fn(key, pdfs, state: GroupState):
+        uid = int(key[0])
+
+        def emit(start, last, n, vm):
+            return pd.DataFrame({
+                "user_id": [uid], "session_start": [start],
+                "session_end": [last], "n_events": [n],
+                "sum_value_milli": [vm]})
+
+        if state.hasTimedOut:
+            start, last, n, vm = state.get
+            state.remove()
+            yield emit(start, last, n, vm)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts")
+        ts_s = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        vms = rows["value"].mul(1000).round().astype("int64").to_numpy()
+
+        if state.exists:
+            start, last, n, vm = state.get
+        else:
+            start = last = None
+            n = vm = 0
+        for t, v in zip(ts_s, vms):
+            t, v = int(t), int(v)
+            if start is None:
+                start, last, n, vm = t, t, 1, v
+            elif t - last > gap_seconds:
+                yield emit(start, last, n, vm)
+                start, last, n, vm = t, t, 1, v
+            else:
+                last = max(last, t)
+                n += 1
+                vm += v
+        state.update((start, last, n, vm))
+        # flush when the watermark passes the session's gap horizon
+        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+
 def run_geotag_stream_once(spark: SparkSession, src_path: str,
                            schema: str, out_path: str,
                            checkpoint: str) -> None:
