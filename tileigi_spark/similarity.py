@@ -17,7 +17,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     """Exact top-k: broadcast the (small) query set against the corpus,
     score JVM-side with array HOFs, window top-k. One shuffle (the window
     partition by query)."""
-    joined = corpus.crossJoin(F.broadcast(queries))
+    from .dedup import spread_small
+
+    joined = spread_small(corpus).crossJoin(F.broadcast(queries))
     scored = joined.withColumn("cosine", cosine_sim(F.col(q_vec),
                                                     F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
@@ -42,25 +44,33 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     exact-scores only candidates in probed buckets. Candidate fraction ≈
     n_tables·(1+n_probes)/2^n_bits of the corpus (raise n_bits with
     corpus size); max_bucket drops degenerate hot lists."""
-    from .dedup import cap_buckets, infer_dim, lsh_tables, rand_hyperplanes, sign_bits
+    from .dedup import (cap_buckets, infer_dim, lsh_table_keys, lsh_tables,
+                        rand_hyperplanes, spread_small)
 
     dim = dim or infer_dim(corpus, c_vec)
-    c = cap_buckets(lsh_tables(corpus.select(c_id, c_vec), c_vec,
-                               n_tables, n_bits, seed, dim), max_bucket)
+    c = cap_buckets(lsh_tables(spread_small(corpus.select(c_id, c_vec)),
+                               c_vec, n_tables, n_bits, seed, dim),
+                    max_bucket)
 
-    qbits = sign_bits(F.col(q_vec),
-                      rand_hyperplanes(dim, n_tables * n_bits, seed))
-    probe_keys = []
-    for t in range(n_tables):
-        base = sum(qbits[t * n_bits + i] * (2 ** i) for i in range(n_bits))
-        probe_keys.append(F.struct(F.lit(t).alias("table"),
-                                   base.cast("int").alias("bucket")))
-        for p in range(min(n_probes, n_bits)):
-            probe_keys.append(F.struct(
-                F.lit(t).alias("table"),
-                base.cast("int").bitwiseXOR(F.lit(2 ** p)).alias("bucket")))
+    # one expression builds every probe: per table, the home bucket plus
+    # n_probes Hamming-1 flips (bit keys evaluated once per row — see
+    # lsh_table_keys on why not element_at per table)
+    keys = lsh_table_keys(F.col(q_vec),
+                          rand_hyperplanes(dim, n_tables * n_bits, seed),
+                          n_tables, n_bits)
+    flips = F.sequence(F.lit(0), F.lit(min(n_probes, n_bits) - 1))
+    probes = F.flatten(F.transform(
+        keys,
+        lambda kb, t: F.concat(
+            F.array(F.struct(t.alias("table"), kb.alias("bucket"))),
+            F.transform(
+                flips,
+                lambda p: F.struct(
+                    t.alias("table"),
+                    kb.bitwiseXOR(F.pow(F.lit(2), p).cast("int"))
+                    .alias("bucket"))))))
     q = (queries
-         .select("*", F.explode(F.array(*probe_keys)).alias("_probe"))
+         .select("*", F.explode(probes).alias("_probe"))
          .select("*", "_probe.table", "_probe.bucket").drop("_probe"))
 
     joined = (q.join(c, on=["table", "bucket"])
