@@ -117,3 +117,30 @@ def test_h3_adapter_seam(spark):
     cells = df.select(h3_cell_col(F.col("lat"), F.col("lng"), 5)
                       .alias("c")).collect()
     assert cells[0]["c"] == cells[1]["c"]
+
+
+def test_knn_straggler_needs_full_grid_pass(spark):
+    """A query whose neighbors are all far away rides the ring expansion
+    to the full-grid pass; with a 2^9 grid (n=512, not a power of 4) the
+    x4 radius growth must clamp to n or the final pass is jumped over
+    and the query silently dropped."""
+    from tileigi_spark.spatial import knn_join
+
+    M = 20037508.342789244
+    cands = spark.createDataFrame(
+        [(i, -M * 0.9 + i * 1000.0, -M * 0.9 + i * 500.0)
+         for i in range(10)],
+        "cand_id long, cx double, cy double")
+    qs = spark.createDataFrame(
+        [(1, M * 0.9, M * 0.9), (2, -M * 0.9, -M * 0.9)],
+        "query_id long, qx double, qy double")
+    got = knn_join(qs, cands, k=3, index_zoom=9)
+    per_q = {r["query_id"]: r["cnt"] for r in
+             got.groupBy("query_id").agg(F.count("*").alias("cnt"))
+             .collect()}
+    assert per_q == {1: 3, 2: 3}
+    # the far query's nearest candidate is the cluster's max-index corner
+    top = {(r["query_id"], r["knn_rank"]): r["cand_id"]
+           for r in got.collect()}
+    assert top[(1, 1)] == 9
+    assert top[(2, 1)] == 0

@@ -135,9 +135,10 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              max_radius: int = 64) -> DataFrame:
     """J5: k nearest candidates per query by planar 3857 distance.
 
-    Cell-ring expansion: radius starts at 1 cell and doubles (driver loop)
-    for queries still short of k candidates; each round is a cell equi-join
-    + window top-k. Deterministic tie-break by (distance², cand_id).
+    Cell-ring expansion: radius starts at 1 cell and grows x4 (driver
+    loop) for queries still short of k provably-safe candidates; each
+    round is a cell equi-join + window top-k. Deterministic tie-break by
+    (distance², cand_id).
 
     index_zoom=None picks the zoom from candidate density so a radius-1
     disk holds ~10k candidates per cell-neighborhood bound — the join size
@@ -245,9 +246,12 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
                  f" next_rem={n_rem}")
             if n_rem == 0:
                 break
-            # x4 growth: each extra round quadruples the guaranteed-safe
-            # disk, so stragglers converge in O(log4 n) candidate scans
-            radius *= 4
+            # x4 growth clamped at the grid size: each extra round
+            # quadruples the guaranteed-safe disk (stragglers converge in
+            # O(log4 n) candidate scans), and the clamp guarantees the
+            # radius >= n full-grid pass fires instead of being jumped
+            # over when n is an odd power of two
+            radius = min(radius * 4, n)
         if not wrote_any:
             return queries.limit(0).select(
                 "*", F.lit(0.0).alias("dist2"), F.lit(0).alias("knn_rank"))
