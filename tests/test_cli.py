@@ -150,3 +150,17 @@ def test_cli_tile_list(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli_main(["--config", str(cfg), "--source", f"feats={src}",
                   "--dest", dest, "--tile-list", str(mismatched)])
+
+
+def test_looks_like_sql_anchored():
+    """Only a leading '(' or SELECT keyword is SQL; table names that merely
+    CONTAIN 'select' or a space are tables (the substring heuristic routed
+    'selected_pages' through the temp-view SQL path)."""
+    from tileigi_spark.config import looks_like_sql
+
+    assert looks_like_sql("( SELECT * FROM water ) AS data")
+    assert looks_like_sql("SELECT way FROM roads")
+    assert looks_like_sql("  select 1")
+    assert not looks_like_sql("selected_pages")
+    assert not looks_like_sql("page_selection")
+    assert not looks_like_sql("my table")  # odd name, still not a query

@@ -513,3 +513,87 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(df, bin_col="blob")
     assert frames.count() >= 2
     assert frames.filter(F.col("doc_id") == 3).count() == 0
+
+
+# ------------------------------------------------------- hot-bucket caps
+
+def _cluster_docs(spark, big=3000, small=30, uniq=40):
+    """One over-cap exact-duplicate cluster, one under-cap cluster, and
+    distinct singletons."""
+    rows = [(i, "boilerplate cookie banner accept all terms privacy now")
+            for i in range(big)]
+    rows += [(100_000 + i, "small shared promo footer with contact info")
+             for i in range(small)]
+    rows += [(200_000 + i, f"unique document number {i} tail {i * 31} "
+              f"extra {i * 7}") for i in range(uniq)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """An exact-duplicate cluster shares EVERY band hash, so without a
+    cap a 3000-copy cluster alone is ~4.5M candidate pairs from each
+    band bucket. With the cap its buckets drop and only the under-cap
+    cluster pairs survive — candidate count stays O(small²), not
+    O(big²)."""
+    from tileigi_spark.dedup import minhash_candidates
+
+    df = _cluster_docs(spark)
+    cands = minhash_candidates(df, max_bucket=500)
+    n = cands.count()
+    assert n <= 30 * 29 // 2 + 100  # small-cluster pairs + stray collisions
+    pairs = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (100_000, 100_001) in pairs      # under-cap cluster kept
+    assert (0, 1) not in pairs              # over-cap cluster dropped
+
+
+def test_minhash_exact_first_representatives(spark):
+    """exact_first=True collapses exact clusters before banding — the
+    production ordering: the 3000-copy cluster contributes ONE
+    representative row per band bucket, and near-dup pairs are over
+    representatives only (no rep pair here: the three texts differ)."""
+    from tileigi_spark.dedup import exact_dedup, minhash_dedup_pairs
+
+    df = _cluster_docs(spark)
+    reps = exact_dedup(df)
+    assert reps.count() == 2 + 40  # one rep per cluster + singletons
+    pairs = minhash_dedup_pairs(df, threshold=0.9, exact_first=True,
+                                max_bucket=500)
+    assert pairs.count() == 0
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Identical signatures collide on all k+1 pigeonhole blocks; the
+    block-bucket cap must keep the over-cap cluster from going
+    quadratic while under-cap duplicates still pair."""
+    from tileigi_spark.dedup import simhash_near_dups
+
+    df = _cluster_docs(spark)
+    got = simhash_near_dups(df, max_hamming=1, max_bucket=500)
+    pairs = {(r["a"], r["b"]) for r in got.collect()}
+    assert (100_000, 100_001) in pairs
+    assert (0, 1) not in pairs
+    assert len(pairs) <= 30 * 29 // 2 + 100
+
+    reps = simhash_near_dups(df, max_hamming=1, max_bucket=500,
+                             exact_first=True)
+    # representatives are three distinct texts -> no hamming<=1 pairs
+    assert reps.count() == 0
+
+
+def test_cosine_pairs_matches_hof(spark):
+    """The Arrow-batched cosine kernel must agree with the JVM HOF
+    formulation to float precision (it replaces it on the verify hot
+    path)."""
+    from tileigi_spark.dedup import cosine_pairs, cosine_sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(16)],
+             [float((i * 5 + j * 13) % 9) - 4.0 for j in range(16)])
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "id long, va array<double>, vb array<double>")
+    got = df.select("id", cosine_pairs(F.col("va"), F.col("vb"))
+                    .alias("c_np"),
+                    cosine_sim(F.col("va"), F.col("vb")).alias("c_hof")) \
+        .collect()
+    for r in got:
+        assert abs(r["c_np"] - r["c_hof"]) < 1e-12

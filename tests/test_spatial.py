@@ -144,3 +144,44 @@ def test_knn_straggler_needs_full_grid_pass(spark):
            for r in got.collect()}
     assert top[(1, 1)] == 9
     assert top[(2, 1)] == 0
+
+
+def test_knn_work_dir_staging(spark, tmp_path):
+    """Cluster-safe staging: an explicit work_dir receives the round
+    parquet (the driver-local tempfile default is only correct in local
+    mode), and results are identical to the default path."""
+    import os
+
+    queries, qrows = _point_grid(spark, 10)
+    queries = queries.select(F.col("pid").alias("query_id"),
+                             F.col("mx").alias("qx"),
+                             F.col("my").alias("qy"))
+    cands, crows = _point_grid(spark, 200)
+    cands = cands.select((F.col("pid") + 1000).alias("cand_id"),
+                         F.col("mx").alias("cx"), F.col("my").alias("cy"))
+    work = str(tmp_path / "knn_stage")
+    got = knn_join(queries, cands, k=2, index_zoom=4, work_dir=work)
+    got_pairs = {(r["query_id"], r["cand_id"], r["knn_rank"])
+                 for r in got.collect()}
+    assert os.path.isdir(os.path.join(work, "out"))  # staged where told
+
+    expected = set()
+    for qid, qxv, qyv in qrows:
+        scored = sorted(((qxv - mx) ** 2 + (qyv - my) ** 2, pid + 1000)
+                        for pid, mx, my in crows)
+        for rank, (_, cid) in enumerate(scored[:2], start=1):
+            expected.add((qid, cid, rank))
+    assert got_pairs == expected
+
+
+def test_pip_streamed_fallback_matches_broadcast(spark):
+    """The large-polygon-table fallback (WKB streamed through the cover
+    join) must produce the same matches as the broadcast-dict path."""
+    points, _ = _point_grid(spark, 150)
+    polys = admin_polygons_df(spark)
+    fast = point_in_polygon_join(points, polys, index_zoom=5)
+    slow = point_in_polygon_join(points, polys, index_zoom=5,
+                                 max_broadcast_polys=0)
+    fp = {(r["pid"], r["admin_id"]) for r in fast.collect()}
+    sp = {(r["pid"], r["admin_id"]) for r in slow.collect()}
+    assert fp == sp and len(fp) > 20

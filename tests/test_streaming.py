@@ -54,8 +54,9 @@ def test_windowed_counts_match_batch(spark, tmp_path):
 
 
 def test_sessionize_stream_matches_batch(spark, tmp_path):
-    """applyInPandasWithState gap sessions == batch lag/cumsum sessions
-    (origin-independent shape: per-user multiset of (n, sum, duration))."""
+    """applyInPandasWithState gap sessions == batch lag/cumsum sessions,
+    including ABSOLUTE session_start/session_end (both sides emit seconds
+    since the fixed _EPOCH0 origin, so outputs are joinable)."""
     from tileigi_spark.streaming import (sessionize_events_batch,
                                          sessionize_stream)
 
@@ -87,8 +88,8 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
             if r["n_events"] == 1 and r["sum_value_milli"] == 0:
                 continue  # the flush sentinel session
             out.setdefault(r["user_id"], []).append(
-                (r["n_events"], r["sum_value_milli"],
-                 r["session_end"] - r["session_start"]))
+                (r["session_start"], r["session_end"],
+                 r["n_events"], r["sum_value_milli"]))
         return {k: sorted(v) for k, v in out.items()}
 
     assert shape(got) == shape(expected)

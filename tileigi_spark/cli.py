@@ -92,8 +92,11 @@ def main(argv=None):
         name, path = s.split("=", 1)
         sources[name] = spark.read.parquet(path)
 
-    # --bbox wins over config-level bounds (both lon/lat); unparsable
-    # input is a hard error, never a silent full-planet render
+    # Generation is restricted ONLY by an explicit --bbox; config-level
+    # `bounds` feeds TileJSON metadata, never the render extent — matching
+    # the reference, where yaml bounds is display metadata (lib.rs:397)
+    # and the CLI bbox alone restricts generation. Unparsable input is a
+    # hard error, never a silent full-planet render.
     from .mercator import parse_bbox
 
     bbox = None
@@ -102,8 +105,6 @@ def main(argv=None):
             bbox = parse_bbox(args.bbox)
         except ValueError as e:
             p.error(str(e))
-    elif layers.bounds is not None:
-        bbox = tuple(layers.bounds)
 
     tile_list = None
     if args.tile_list is not None:

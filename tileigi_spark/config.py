@@ -8,6 +8,7 @@ caller) plus the same zoom/buffer knobs.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -36,15 +37,16 @@ class Layer:
     sql: str | None = None
 
 
-_SQL_MARKERS = ("select", "(", " ")
+_SQL_START = re.compile(r"^\s*(\(|select\b)", re.IGNORECASE)
 
 
 def looks_like_sql(table: str) -> bool:
     """tm2source Datasource.table values are either a bare table name or
     an inline subquery like '( SELECT ... ) AS data' (tmsource.rs,
-    input/mod.rs:88-123)."""
-    t = table.strip().lower()
-    return t.startswith("(") or "select" in t or " " in t
+    input/mod.rs:88-123). Anchored: only a leading '(' or SELECT keyword
+    routes through the SQL path — a plain table named 'selected_pages'
+    or 'page selection' is a table, not a query."""
+    return bool(_SQL_START.match(table))
 
 
 def substitute_sql_tokens(sql: str, zoom: int,

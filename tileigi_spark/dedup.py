@@ -59,13 +59,36 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return with_grams.select(id_col, sig.alias("minhash"))
 
 
+def drop_hot_buckets(df: DataFrame, keys, max_bucket: int) -> DataFrame:
+    """Anti-join away over-cap bucket groups before a bucket self-join.
+
+    The hot-bucket guard for UNBOUNDED key spaces (band hashes, simhash
+    blocks — cap_buckets' broadcast-the-OK-set trick only works when the
+    bucket universe is small like n_tables*2^n_bits): there are at most
+    total_rows/max_bucket hot groups, so the hot set always broadcasts.
+    A bucket of size m contributes m(m-1)/2 candidate pairs; an
+    exact-duplicate cluster of 1M boilerplate pages shares EVERY band
+    hash, i.e. 10^12 pairs from one bucket without this cap. Members of a
+    dropped bucket still pair through their other bands/blocks (and exact
+    duplicates belong to exact_dedup, which is why near-dup pipelines run
+    it first — see minhash_dedup_pairs(exact_first=True))."""
+    keys = list(keys)
+    hot = (df.groupBy(*keys)
+           .agg(F.count("*").alias("_bn"))
+           .filter(F.col("_bn") > max_bucket)
+           .select(*keys))
+    return df.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
-                       bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                       bands: int = 4, shingle_n: int = 3,
+                       max_bucket: int = 10_000) -> DataFrame:
     """LSH banding: split the signature into `bands` rows, bucket-join on
     (band_idx, band_hash), emit candidate pairs (a < b). The join is an
     equi self-join on the band bucket — Spark's native strength; bucket
-    sizes bound the pair blow-up."""
+    sizes bound the pair blow-up, and drop_hot_buckets caps the degenerate
+    exact-duplicate-cluster buckets that would otherwise go quadratic."""
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     banded = (sigs.select(
@@ -74,6 +97,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
             F.xxhash64(*[F.element_at("minhash", b * rows_per_band + r + 1)
                          for r in range(rows_per_band)])
             for b in range(bands)])).alias("band_idx", "band_hash")))
+    banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket)
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
     right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
     return (left.join(right, on=["band_idx", "band_hash"])
@@ -106,10 +130,21 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n_hashes: int = 16,
                         bands: int = 4, shingle_n: int = 3,
-                        threshold: float = 0.7) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline."""
+                        threshold: float = 0.7,
+                        max_bucket: int = 10_000,
+                        exact_first: bool = False) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline.
+
+    exact_first=True is the production ordering for corpora with large
+    exact-duplicate clusters: run exact_dedup and band-join only the
+    representatives, so a 1M-copy boilerplate page contributes ONE row to
+    every band bucket instead of 10^12 in-bucket pairs (pairs within an
+    exact cluster are already known duplicates — they don't need MinHash).
+    Output is then pairs over representatives only."""
+    if exact_first:
+        df = exact_dedup(df, text_col, id_col).drop("content_md5")
     cands = minhash_candidates(df, text_col, id_col, n_hashes, bands,
-                               shingle_n)
+                               shingle_n, max_bucket)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
@@ -142,10 +177,19 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      max_bucket: int = 10_000,
+                      exact_first: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, using the pigeonhole
     block trick: split 64 bits into (k+1) blocks; any pair within distance k
-    agrees exactly on >= 1 block -> equi-join per block, then verify."""
+    agrees exactly on >= 1 block -> equi-join per block, then verify.
+
+    Identical signatures collide on ALL k+1 blocks, so an exact-duplicate
+    cluster makes every block bucket quadratic: drop_hot_buckets caps
+    those, and exact_first=True collapses exact clusters to one
+    representative before blocking (the production pipeline ordering)."""
+    if exact_first:
+        df = exact_dedup(df, text_col, id_col).drop("content_md5")
     sh = simhash_signatures(df, text_col, id_col)
     blocks = max_hamming + 1
     width = 64 // blocks
@@ -160,6 +204,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
         id_col, "simhash",
         F.posexplode(F.array(*[block(b) for b in range(blocks)]))
         .alias("block_idx", "block_val"))
+    exploded = drop_hot_buckets(exploded, ["block_idx", "block_val"],
+                                max_bucket)
     left = exploded.select(F.col(id_col).alias("a"),
                            F.col("simhash").alias("sh_a"),
                            "block_idx", "block_val")
@@ -285,7 +331,7 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
             .filter(F.col("a") < F.col("b"))
             .select("a", "b", "va", "vb")
             .dropDuplicates(["a", "b"]))
-    return (cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+    return (cand.withColumn("cosine", cosine_pairs(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
 
@@ -310,13 +356,17 @@ def embedding_near_dups_exact(df: DataFrame, vec_col: str = "embedding",
     left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     pairs = left.join(right, F.col("a") < F.col("b"))
-    return (pairs.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+    return (pairs.withColumn("cosine", cosine_pairs(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine"))
 
 
 def cosine_sim(va, vb):
-    """Exact cosine with JVM array HOFs (no UDF)."""
+    """Exact cosine with JVM array HOFs (no UDF). NOT the hot-path kernel:
+    Catalyst higher-order-function lambdas evaluate interpreted (~4.5 µs
+    per element op, measured in the lsh_table_keys rewrite), i.e. 3
+    interpreted passes over dim elements per pair. Kept for plans that
+    must stay Python-free; verify hot paths use cosine_pairs."""
     va = va.cast("array<double>")
     vb = vb.cast("array<double>")
     dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
@@ -326,3 +376,25 @@ def cosine_sim(va, vb):
     nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x),
                             F.lit(0.0), lambda a, x: a + x))
     return dot / (na * nb)
+
+
+def cosine_pairs(va, vb):
+    """Arrow-batched exact cosine for the candidate-verify hot path: one
+    numpy (A*B).sum(axis=1) per batch (same pattern as lsh_table_keys —
+    the batched matmul that replaced the interpreted-HOF LSH keys). At
+    corpus scale the verify dominates the LSH stages, so this is the
+    kernel that must be vectorized."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        B = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dots / (na * nb))
+
+    return cos(va, vb)

@@ -77,53 +77,69 @@ def _shift_geom(geom, xoff, yoff):
     raise ValueError(typ)
 
 
+def _bbox_arrays(ways):
+    """Per-row bbox arrays from a WKB column (numpy fast path for simple
+    2-D points, recursive decode otherwise; NaN = undecodable)."""
+    import numpy as np
+
+    n = len(ways)
+    out = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
+    # vectorized path for simple 2-D points (dominant for geotagged
+    # pages): bbox == the point itself
+    simple = np.fromiter((_is_simple_point_wkb(w) for w in ways),
+                         dtype=bool, count=n)
+    if simple.any():
+        buf = np.frombuffer(
+            b"".join(w for w, s in zip(ways, simple) if s),
+            dtype=np.uint8).reshape(-1, 21)
+        xs = buf[:, 5:13].copy().view(np.float64).ravel()
+        ys = buf[:, 13:21].copy().view(np.float64).ravel()
+        idx = np.nonzero(simple)[0]
+        out["xmin"][idx] = xs; out["xmax"][idx] = xs
+        out["ymin"][idx] = ys; out["ymax"][idx] = ys
+    for i, w in enumerate(ways):
+        if simple[i] or w is None:
+            continue
+        try:
+            g = wkb_to_geom(bytes(w))
+        except ValueError:
+            continue
+        xs, ys = [], []
+        _collect_coords(g, xs, ys)
+        if xs:
+            out["xmin"][i] = min(xs); out["ymin"][i] = min(ys)
+            out["xmax"][i] = max(xs); out["ymax"][i] = max(ys)
+    return out
+
+
 def with_bbox(features_df: DataFrame, way_col: str = "way") -> DataFrame:
-    """Add xmin/ymin/xmax/ymax columns decoded from WKB (one Arrow pass).
-    Invalid WKB rows get null bbox and are dropped downstream — the
-    reference's silent skip (lib.rs:572-579)."""
+    """Append xmin/ymin/xmax/ymax decoded from WKB and drop undecodable
+    rows — the reference's silent skip (lib.rs:572-579) — in ONE
+    mapInPandas pass. A pandas_udf + isNotNull filter looks equivalent but
+    is 2× the work: Catalyst instantiates the UDF in both the Filter and
+    the Project, so every feature of a 100-TB scan crosses the Arrow
+    boundary and decodes its WKB twice (two ArrowEvalPython nodes,
+    verified by tools/plan_audit.py; the audit now pins this to one
+    Python pass)."""
+    import numpy as np
     from pyspark.sql.types import StructType, StructField
 
-    schema = StructType([
+    out_schema = StructType(features_df.schema.fields + [
         StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
         StructField("xmax", DoubleType()), StructField("ymax", DoubleType()),
     ])
 
-    @F.pandas_udf(schema)
-    def bbox_udf(ways: pd.Series) -> pd.DataFrame:
-        import numpy as np
-        n = len(ways)
-        out = {k: np.full(n, np.nan) for k in ("xmin", "ymin", "xmax", "ymax")}
-        # vectorized path for simple 2-D points (dominant for geotagged
-        # pages): bbox == the point itself
-        simple = np.fromiter((_is_simple_point_wkb(w) for w in ways),
-                             dtype=bool, count=n)
-        if simple.any():
-            buf = np.frombuffer(
-                b"".join(w for w, s in zip(ways, simple) if s),
-                dtype=np.uint8).reshape(-1, 21)
-            xs = buf[:, 5:13].copy().view(np.float64).ravel()
-            ys = buf[:, 13:21].copy().view(np.float64).ravel()
-            idx = np.nonzero(simple)[0]
-            out["xmin"][idx] = xs; out["xmax"][idx] = xs
-            out["ymin"][idx] = ys; out["ymax"][idx] = ys
-        for i, w in enumerate(ways):
-            if simple[i] or w is None:
-                continue
-            try:
-                g = wkb_to_geom(bytes(w))
-            except ValueError:
-                continue
-            xs, ys = [], []
-            _collect_coords(g, xs, ys)
-            if xs:
-                out["xmin"][i] = min(xs); out["ymin"][i] = min(ys)
-                out["xmax"][i] = max(xs); out["ymax"][i] = max(ys)
-        return pd.DataFrame(out)
+    def run(iterator):
+        for pdf in iterator:
+            bb = _bbox_arrays(pdf[way_col])
+            keep = ~np.isnan(bb["xmin"])
+            out = pdf.assign(**bb)
+            if not keep.all():
+                out = out[keep]
+            if len(out):
+                yield out
 
-    return (features_df
-            .withColumn("_bbox", bbox_udf(F.col(way_col)))
-            .select("*", "_bbox.*").drop("_bbox")
-            .filter(F.col("xmin").isNotNull()))
+    return features_df.mapInPandas(run, schema=out_schema)
 
 
 def _collect_coords(geom, xs, ys):

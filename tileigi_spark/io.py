@@ -86,8 +86,17 @@ class TileStore:
     def read_staging(self, spark: SparkSession, zoom: int) -> DataFrame | None:
         return self._read(spark, f"staging_z{zoom}")
 
-    def drop_staging(self, zoom: int):
-        if not self.use_iceberg:
+    def drop_staging(self, zoom: int, spark: SparkSession | None = None):
+        """Reclaim the zoom batch's staging data after commit. On the
+        iceberg path the table is DROPped (PURGE reclaims data files);
+        without this, staging_z{zoom} tables accumulate one batch of
+        gigabytes per zoom per run indefinitely."""
+        if self.use_iceberg:
+            spark = spark or SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {self.base}.staging_z{zoom} PURGE")
+        else:
             import shutil
             shutil.rmtree(os.path.join(self.base, f"staging_z{zoom}"),
                           ignore_errors=True)
@@ -147,7 +156,7 @@ def run_pyramid_with_checkpoint(spark: SparkSession, store: TileStore,
             "run_id": run_id, "stage": "pyramid", "zoom": zoom,
             "rows": n, "secs": time.time() - t0,
         }])
-        store.drop_staging(zoom)
+        store.drop_staging(zoom, spark)
         done = store.done_keys(spark)
 
 

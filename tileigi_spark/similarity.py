@@ -8,20 +8,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import cosine_sim
+from .dedup import cosine_pairs
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
                      q_id: str = "query_id", c_id: str = "vec_id",
                      q_vec: str = "q_vec", c_vec: str = "embedding") -> DataFrame:
     """Exact top-k: broadcast the (small) query set against the corpus,
-    score JVM-side with array HOFs, window top-k. One shuffle (the window
-    partition by query)."""
+    score with the Arrow-batched numpy dot kernel, window top-k. One
+    shuffle (the window partition by query)."""
     from .dedup import spread_small
 
     joined = spread_small(corpus).crossJoin(F.broadcast(queries))
-    scored = joined.withColumn("cosine", cosine_sim(F.col(q_vec),
-                                                    F.col(c_vec)))
+    scored = joined.withColumn("cosine", cosine_pairs(F.col(q_vec),
+                                                      F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
                                          F.col(c_id).asc())
     return (scored.withColumn("sim_rank", F.row_number().over(w))
@@ -75,8 +75,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     joined = (q.join(c, on=["table", "bucket"])
               .dropDuplicates([q_id, c_id]))
-    scored = joined.withColumn("cosine", cosine_sim(F.col(q_vec),
-                                                    F.col(c_vec)))
+    scored = joined.withColumn("cosine", cosine_pairs(F.col(q_vec),
+                                                      F.col(c_vec)))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(),
                                          F.col(c_id).asc())
     return (scored.withColumn("sim_rank", F.row_number().over(w))

@@ -11,9 +11,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import BooleanType
 
-from .engine import with_bbox
+from .engine import with_bbox, _collect_coords
 from .geom.wkb import wkb_to_geom
 from .index import cell_col, cell_xy_cols, bbox_cover_cells, disk_cells
+from .mercator import MERC_MAX
+
+WORLD = 2.0 * MERC_MAX
 
 
 def _point_in_rings(px, py, rings) -> bool:
@@ -110,13 +113,108 @@ def _pip_refine(px: pd.Series, py: pd.Series, way: pd.Series) -> pd.Series:
 
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           index_zoom: int = 7,
-                          px_col: str = "mx", py_col: str = "my") -> DataFrame:
+                          px_col: str = "mx", py_col: str = "my",
+                          max_broadcast_polys: int = 100_000) -> DataFrame:
     """J4: points(… mx, my mercator columns) ⋈ polygons(… way WKB).
 
-    Plan: polygons explode to bbox cover cells (narrow) → equi hash join on
-    cell with points (single shuffle, AQE skew-aware) → exact even-odd
-    refine in an Arrow UDF. Returns matched rows with all columns of both
-    inputs (point columns first)."""
+    Plan (broadcast path, the admin-polygon norm): the polygon table is
+    collected ONCE driver-side; its (cell, polygon-id) cover table and
+    attribute table broadcast-join against the points (the 100-TB point
+    side is never shuffled — BuildRight on the tiny cell relation), and
+    the exact even-odd refine resolves WKB from a broadcast id→bytes dict
+    inside the Arrow UDF. The candidate stream carries only ids + coords:
+    shipping the full polygon WKB per (point × polygon) candidate row put
+    a 1.6 MB country multipolygon into the Arrow stream once per
+    candidate point. Polygon tables beyond max_broadcast_polys rows fall
+    back to the distributed cover-join that streams WKB (correct at any
+    size, heavier on transfer). Returns matched rows with point columns
+    first, then all polygon columns except `way`."""
+    if polygons.count() > max_broadcast_polys:
+        return _pip_join_streamed(points, polygons, index_zoom,
+                                  px_col, py_col)
+
+    import numpy as np
+
+    spark = points.sparkSession
+    poly_cols = [c for c in polygons.columns if c != "way"]
+    rows = polygons.collect()
+
+    n = 1 << index_zoom
+    span = WORLD / n
+    import math
+
+    def clamp(c):
+        return min(n - 1, max(0, c))
+
+    cell_rows = []
+    attr_rows = []
+    wkb_by_pid = {}
+    for pid, r in enumerate(rows):
+        w = r["way"]
+        if w is None:
+            continue
+        try:
+            g = wkb_to_geom(bytes(w))
+        except ValueError:
+            continue
+        xs, ys = [], []
+        _collect_coords(g, xs, ys)
+        if not xs:
+            continue
+        wkb_by_pid[pid] = bytes(w)
+        attr_rows.append((pid, *[r[c] for c in poly_cols]))
+        # exact mirror of bbox_cover_cells / cell_col arithmetic
+        cx0 = clamp(math.floor((min(xs) + MERC_MAX) / span))
+        cx1 = clamp(math.floor((max(xs) + MERC_MAX) / span))
+        cy0 = clamp(math.floor((MERC_MAX - max(ys)) / span))
+        cy1 = clamp(math.floor((MERC_MAX - min(ys)) / span))
+        for cx in range(cx0, cx1 + 1):
+            for cy in range(cy0, cy1 + 1):
+                cell_rows.append((cx * (1 << 32) + cy, pid))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells_df = spark.createDataFrame(cell_rows, "cell long, _pid int")
+    attrs_df = spark.createDataFrame(
+        attr_rows,
+        StructType([StructField("_pid", IntegerType(), False)]
+                   + [polygons.schema[c] for c in poly_cols]))
+
+    bc = spark.sparkContext.broadcast(wkb_by_pid)
+
+    @F.pandas_udf(BooleanType())
+    def refine(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
+        lookup = bc.value
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        out = np.zeros(len(pxv), dtype=bool)
+        for p, idx in pd.Series(range(len(pid))).groupby(pid.values):
+            typ, data = wkb_to_geom(lookup[int(p)])
+            if typ == "Polygon":
+                polys = [data]
+            elif typ == "MultiPolygon":
+                polys = data
+            else:
+                continue
+            iv = idx.to_numpy()
+            out[iv] = _pip_many(pxv[iv], pyv[iv], polys)
+        return pd.Series(out)
+
+    pts = points.withColumn("cell",
+                            cell_col(F.col(px_col), F.col(py_col), index_zoom))
+    cand = pts.join(F.broadcast(cells_df), on="cell", how="inner") \
+        .drop("cell")
+    hit = cand.filter(refine(F.col(px_col), F.col(py_col), F.col("_pid")))
+    out = hit.join(F.broadcast(attrs_df), on="_pid").drop("_pid")
+    return out.select(*points.columns, *poly_cols)
+
+
+def _pip_join_streamed(points: DataFrame, polygons: DataFrame,
+                       index_zoom: int = 7,
+                       px_col: str = "mx", py_col: str = "my") -> DataFrame:
+    """Fallback for polygon tables too large to broadcast: distributed
+    bbox-cover cell join with the WKB streamed per candidate row, exact
+    refine decoding each distinct polygon once per Arrow batch."""
     polys = with_bbox(polygons)
     polys_cells = bbox_cover_cells(polys, index_zoom) \
         .drop("xmin", "ymin", "xmax", "ymax")
@@ -127,12 +225,46 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                                      F.col("way")))
 
 
+def _fs_delete(spark, path: str):
+    """Scheme-aware recursive delete via the Hadoop FileSystem API — works
+    for local file paths AND shared cluster storage (hdfs://, s3a://…),
+    unlike driver-side shutil."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass  # best-effort staging cleanup
+
+
+def knn_work_dir(spark, work_dir: str | None) -> str:
+    """Resolve the kNN round-staging location. Per-round state MUST live
+    on storage every executor can read: a driver-local tempfile.mkdtemp
+    is only correct in local mode (on a multi-node cluster each executor
+    would write its shard to its OWN /tmp and the read-back sees partial
+    data). Explicit work_dir wins; otherwise local masters use a tmp dir
+    and cluster masters stage under spark.sql.warehouse.dir, which on any
+    real deployment is shared storage."""
+    import tempfile
+    import uuid
+
+    if work_dir is not None:
+        return work_dir.rstrip("/")
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local"):
+        return tempfile.mkdtemp(prefix="tileigi_knn_")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{wh}/_tileigi_knn_{uuid.uuid4().hex}"
+
+
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              index_zoom: int | None = None, query_id: str = "query_id",
              cand_id: str = "cand_id",
              qx: str = "qx", qy: str = "qy",
              cx: str = "cx", cy: str = "cy",
-             max_radius: int = 64) -> DataFrame:
+             max_radius: int = 64,
+             work_dir: str | None = None) -> DataFrame:
     """J5: k nearest candidates per query by planar 3857 distance.
 
     Cell-ring expansion: radius starts at 1 cell and grows x4 (driver
@@ -151,12 +283,14 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
     past 8 cores), and is lost on restart. Storage round-trips are the
     cluster-correct stage boundary; each round writes its finished batch
     (append) + the shrinking remainder (overwrite), so the driver loop
-    never re-executes a prior round's plan.
+    never re-executes a prior round's plan. The staging location is
+    resolved by knn_work_dir (pass work_dir on clusters whose warehouse
+    dir isn't where staging should go); intermediate round/remainder dirs
+    are deleted scheme-aware, the final `out` dir lives until the caller
+    finishes consuming the returned (lazy) DataFrame.
     """
     import os
-    import shutil
     import sys
-    import tempfile
     import time as _time
 
     verbose = os.environ.get("TILEIGI_KNN_DEBUG") == "1"
@@ -177,8 +311,9 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         "cell", cell_col(F.col(cx), F.col(cy), index_zoom))
 
     spark = queries.sparkSession
-    work = tempfile.mkdtemp(prefix="tileigi_knn_")
+    work = knn_work_dir(spark, work_dir)
     out_dir = f"{work}/out"
+    round_dirs: list[str] = []
     n = 1 << index_zoom
     remaining = q
     n_rem = remaining.count()
@@ -216,6 +351,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             # anti-join) reads the ~k*|queries| materialized rows instead
             # of re-executing the scan+join+window chain
             t0 = _time.time()
+            round_dirs.append(f"{work}/round_{radius}")
             ranked.write.mode("overwrite").parquet(f"{work}/round_{radius}")
             rr = spark.read.parquet(f"{work}/round_{radius}")
             _dbg(f"radius={radius} n_rem={n_rem} round-write "
@@ -239,6 +375,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             done_q = finished.select(query_id).distinct()
             nxt = remaining.join(F.broadcast(done_q), on=query_id,
                                  how="left_anti")
+            round_dirs.append(f"{work}/rem_{radius}")
             nxt.write.mode("overwrite").parquet(f"{work}/rem_{radius}")
             remaining = spark.read.parquet(f"{work}/rem_{radius}")
             n_rem = remaining.count()
@@ -260,8 +397,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
         # can be cleaned (the parquet files persist until process exit)
         return out
     finally:
-        # keep out_dir (the returned frame reads it until process exit);
-        # drop the per-round remainder dirs
-        for p in os.listdir(work):
-            if p.startswith(("rem_", "round_")):
-                shutil.rmtree(f"{work}/{p}", ignore_errors=True)
+        # keep out_dir (the returned frame reads it lazily); drop the
+        # per-round staging dirs on whatever filesystem they live on
+        for p in round_dirs:
+            _fs_delete(spark, p)

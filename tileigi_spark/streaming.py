@@ -43,6 +43,14 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 
 
 _EPOCH0 = "2024-01-01 00:00:00"  # fixture epoch; any fixed origin works
+# Unix seconds of _EPOCH0's wall-clock reading: pandas hands the stateful
+# operator NAIVE session-local timestamps whose int64 view is
+# "wall-clock-as-UTC", so subtracting this constant yields seconds since
+# _EPOCH0 in the SAME wall clock — timezone-free, matching the batch twin
+import datetime as _dt
+
+_EPOCH0_UNIX_S = int(_dt.datetime.strptime(_EPOCH0, "%Y-%m-%d %H:%M:%S")
+                     .replace(tzinfo=_dt.timezone.utc).timestamp())
 
 
 def _ts_seconds_col(ts_col):
@@ -87,8 +95,11 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
     """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState + event-time timeout): per user, an open
     session lives in the state store; events extend it or close it, and
-    the watermark passing (last_event + gap) flushes it. Semantics match
-    sessionize_events_batch on a fully-flushed stream."""
+    the watermark passing (last_event + gap) flushes it. Outputs match
+    sessionize_events_batch on a fully-flushed stream INCLUDING the
+    absolute session_start/session_end values: both emit whole seconds
+    since the fixed _EPOCH0 origin (timezone-free), so batch and stream
+    results are joinable."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -118,7 +129,8 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("ts")
-        ts_s = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        ts_s = (rows["ts"].astype("int64") // 1_000_000_000
+                - _EPOCH0_UNIX_S).to_numpy()
         vms = rows["value"].mul(1000).round().astype("int64").to_numpy()
 
         if state.exists:
@@ -139,7 +151,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                 vm += v
         state.update((start, last, n, vm))
         # flush when the watermark passes the session's gap horizon
-        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        # (timeout stays in the engine's epoch-millis clock)
+        state.setTimeoutTimestamp((last + _EPOCH0_UNIX_S + gap_seconds)
+                                  * 1000)
 
     return (events.groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
