@@ -74,17 +74,51 @@ def main():
           forbid=["Python", "Arrow"],
           notes="The signature stage must show no Python eval node.")
 
-    # 3. PIP join: polygon cell table broadcast, one shuffle-free prefilter
+    # 3. PIP join: polygon cell table broadcast AS THE BUILD SIDE, and no
+    # polygon WKB in the distributed candidate stream (resolved from a
+    # broadcast dict inside the refine UDF instead)
     from tileigi_spark.spatial import point_in_polygon_join
     import __spark_entry__ as em
     pts = em._doc_points(spark, SF).select("doc_id", "mx", "my")
     polys = em._nation_boxes(spark, SF)
     pip = point_in_polygon_join(pts, polys, index_zoom=5)
-    audit("point-in-polygon join (broadcast prefilter)", pip,
-          require=["BroadcastHashJoin"],
-          notes="The polygon cell table is tiny next to the point table: "
-                "the cell equi-join must be a broadcast hash join so the "
-                "100 TB point side is never shuffled before the refine.")
+    p_pip = formatted(pip)
+    checks.append(("point-in-polygon join",
+                   "broadcast hash join with the cell table as build side "
+                   "(BuildRight)",
+                   "BroadcastHashJoin" in p_pip and "BuildRight" in p_pip))
+    checks.append(("point-in-polygon join",
+                   "points relation is probe side, never exchanged "
+                   "(no hash exchange)",
+                   "Exchange hashpartitioning" not in p_pip))
+    checks.append(("point-in-polygon join",
+                   "no polygon WKB in the candidate stream (way# absent)",
+                   "way#" not in p_pip))
+    sections.append(
+        "## point-in-polygon join (broadcast build side, ids+coords only)"
+        "\n\nThe polygon cell table broadcasts as the BUILD side so the "
+        "100 TB point side is probe-only and never shuffled; polygon WKB "
+        "never enters the candidate stream (the refine UDF resolves it "
+        "from a broadcast id->bytes dict).\n\n```\n" + p_pip + "\n```\n")
+
+    # 3b. with_bbox: exactly ONE Python pass (the pandas_udf formulation
+    # decoded every feature's WKB twice — once in Filter, once in Project)
+    from tileigi_spark.engine import with_bbox
+    from tileigi_spark.fixtures import features_df
+    wb = with_bbox(features_df(spark, 60))
+    p_wb = formatted(wb)
+    import re
+    n_py = len(re.findall(r"\(\d+\) MapInPandas", p_wb))
+    checks.append(("with_bbox", "exactly 1 MapInPandas bbox pass "
+                   "(no double WKB decode)", n_py == 1))
+    checks.append(("with_bbox", "free of ArrowEvalPython",
+                   "ArrowEvalPython" not in p_wb))
+    sections.append(
+        "## with_bbox (single Arrow pass)\n\nBbox decode + invalid-row "
+        "drop happen in ONE mapInPandas stage; the old pandas_udf + "
+        "isNotNull-filter shape made Catalyst instantiate the UDF in both "
+        f"Filter and Project. MapInPandas count: {n_py}.\n\n```\n"
+        + p_wb[:2500] + "\n```\n")
 
     # 4. pyramid plan: count the exchanges (expect exactly 2 repartitions)
     from tileigi_spark.config import Layer, Layers
@@ -96,6 +130,9 @@ def main():
     p = plan_of(tiles)
     n_exch = p.count("Exchange hashpartitioning")
     checks.append(("mvt pyramid", "exactly 2 hash exchanges", n_exch == 2))
+    checks.append(("mvt pyramid", "free of ArrowEvalPython (bbox decode "
+                   "is a single mapInPandas, not a doubled pandas_udf)",
+                   "ArrowEvalPython" not in p))
     sections.append(
         "## mvt pyramid (two shuffles total)\n\n"
         f"Exchange hashpartitioning count: {n_exch} (cover fan-out is "
