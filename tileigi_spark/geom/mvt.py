@@ -332,3 +332,74 @@ def merge_partial_layers(partials):
         body += _len_delim(4, _encode_value(v))
     body += _tag(5, 0) + _varint(first["extent"])
     return body
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def decode_geometry(ftype: int, payload: bytes):
+    """Inverse of _geometry_commands: MVT command stream -> geom tuple
+    (('Point', (x, y)), ('MultiLineString', [...]), …). Polygon rings are
+    regrouped by winding: per MVT spec §4.3.4 an exterior ring has
+    positive signed area under the surveyor's formula in tile (y-down)
+    coords, and interior rings follow their exterior."""
+    coords = []
+    pos = 0
+    cx = cy = 0
+    parts = []   # list of coordinate runs, one per MoveTo block
+    while pos < len(payload):
+        cmd, pos = _read_varint(payload, pos)
+        cmd_id, count = cmd & 0x7, cmd >> 3
+        if cmd_id in (1, 2):  # MoveTo / LineTo
+            run = parts[-1] if (cmd_id == 2 and parts) else None
+            if run is None:
+                run = []
+                parts.append(run)
+            for _ in range(count):
+                dx, pos = _read_varint(payload, pos)
+                dy, pos = _read_varint(payload, pos)
+                cx += _unzigzag(dx)
+                cy += _unzigzag(dy)
+                if cmd_id == 1 and count > 1:
+                    # multipoint: each MoveTo vertex is its own part
+                    parts.append([(cx, cy)])
+                else:
+                    run.append((cx, cy))
+            if cmd_id == 1 and count > 1 and not parts[0]:
+                parts.pop(0)
+        elif cmd_id == 7:  # ClosePath
+            parts[-1].append(parts[-1][0])
+        else:
+            raise ValueError(f"bad MVT command {cmd_id}")
+    if ftype == 1:
+        pts = [p for run in parts for p in run]
+        return ("Point", pts[0]) if len(pts) == 1 else ("MultiPoint", pts)
+    if ftype == 2:
+        return (("LineString", parts[0]) if len(parts) == 1
+                else ("MultiLineString", parts))
+    if ftype == 3:
+        def area2(ring):
+            s = 0
+            for i in range(len(ring) - 1):
+                s += (ring[i][0] * ring[i + 1][1]
+                      - ring[i + 1][0] * ring[i][1])
+            return s
+        polys = []
+        for ring in parts:
+            # y-down coords: CW on screen (exterior) = positive area here
+            if area2(ring) >= 0 or not polys:
+                polys.append([ring])
+            else:
+                polys[-1].append(ring)
+        return (("Polygon", polys[0]) if len(polys) == 1
+                else ("MultiPolygon", polys))
+    raise ValueError(f"unknown MVT geometry type {ftype}")
+
+
+def decode_tile(tile_bytes: bytes):
+    """Tile bytes (optionally gzip'd) -> list of decoded layer dicts."""
+    if tile_bytes[:2] == b"\x1f\x8b":
+        tile_bytes = gzip.decompress(tile_bytes)
+    return [decode_layer(payload)
+            for field, payload in _iter_fields(tile_bytes) if field == 3]

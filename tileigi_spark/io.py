@@ -304,3 +304,56 @@ def write_tilejson(layers, path: str, prop_types: dict[str, dict] | None = None)
         doc["center"] = list(layers.center)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
+
+
+def tiles_to_geojson(tiles_rows, base_dir: str):
+    """Debug GeoJSON dump (reference lib.rs:889-971 geom_as_geojson /
+    write_geojson): one z/x/y.geojson FeatureCollection per tile. Tile
+    bytes are decoded back to features, properties restored from the
+    layer key/value tables, and tile-local integer coords mapped to
+    lon/lat with the ported x_to_lon/y_to_lat helpers (lib.rs:870-887)
+    applied at global extent 4096*2^z. Driver-side like the reference's
+    stdout dumps — a debugging surface, not a sink."""
+    from .geom.mvt import decode_tile, decode_geometry
+    from .mercator import x_to_lon, y_to_lat
+
+    for row in tiles_rows:
+        z, x, y = row["zoom"], row["x"], row["y"]
+        world = 4096.0 * (1 << z)
+        ox, oy = x * 4096, y * 4096
+
+        def ll(pt):
+            return [x_to_lon(ox + pt[0], world), y_to_lat(oy + pt[1], world)]
+
+        def conv(geom):
+            typ, data = geom
+            if typ == "Point":
+                return {"type": typ, "coordinates": ll(data)}
+            if typ in ("MultiPoint", "LineString"):
+                return {"type": typ, "coordinates": [ll(p) for p in data]}
+            if typ in ("MultiLineString", "Polygon"):
+                return {"type": typ,
+                        "coordinates": [[ll(p) for p in part]
+                                        for part in data]}
+            return {"type": typ,
+                    "coordinates": [[[ll(p) for p in r] for r in rings]
+                                    for rings in data]}
+
+        features = []
+        for layer in decode_tile(bytes(row["tile"])):
+            for ftype, tags, geom_payload, fid in layer["features"]:
+                props = {"$layer": layer["name"]}
+                for i in range(0, len(tags), 2):
+                    v = layer["values"][tags[i + 1]]
+                    if isinstance(v, tuple):  # ("f32", value)
+                        v = v[1]
+                    props[layer["keys"][tags[i]]] = v
+                features.append({
+                    "type": "Feature", "properties": props,
+                    "geometry": conv(decode_geometry(ftype, geom_payload)),
+                })
+        d = os.path.join(base_dir, str(z), str(x))
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{y}.geojson"), "w") as f:
+            json.dump({"type": "FeatureCollection", "features": features},
+                      f)
