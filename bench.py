@@ -175,6 +175,14 @@ def main():
     import shutil
     shutil.rmtree(workdir, ignore_errors=True)
 
+    # drain the headline phases' JVM garbage before per-query timing:
+    # without this, the heap debt from the 2M-page phases lands as a
+    # 10-35s collection pause on whichever small query runs when the
+    # threshold trips (measured: poly_pieces_z2 at 37.7s in-bench vs
+    # 1.4s isolated; with the explicit gc it returns to ~1.5-4s) — the
+    # pause would be misattributed to that query's operator
+    spark.sparkContext._jvm.System.gc()
+
     # ---- operator queries (correctness-gated set)
     for name, fn in entrymod.queries().items():
         t0 = time.time()

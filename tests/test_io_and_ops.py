@@ -698,3 +698,26 @@ def test_tilestore_iceberg_roundtrip(spark, tmp_path):
     assert {(r["zoom"], r["x"], r["y"]) for r in back.collect()} == \
         {(0, 0, 0), (1, 1, 1)}
     assert store.done_keys(spark).count() == 2
+
+
+def test_pixel_decode_guard_and_real_path():
+    """decode_pixels/pixel_feature: REAL decode where Pillow exists (the
+    tiny_png fixture decodes to all-zero pixels -> an all-zero 64-byte
+    feature), a documented ImportError/None fallback where it doesn't."""
+    import pytest
+
+    from tileigi_spark.multimodal import (_pil, decode_pixels, pixel_feature,
+                                          tiny_png)
+
+    png = tiny_png(16, 12)
+    if _pil() is None:
+        with pytest.raises(ImportError, match="Pillow"):
+            decode_pixels(png)
+        assert pixel_feature(png) is None
+        return
+    px = decode_pixels(png)
+    assert px.shape == (12, 16, 3)
+    assert int(px.max()) == 0  # zero-filled fixture pixels
+    feat = pixel_feature(png)
+    assert feat == bytes(64)
+    assert pixel_feature(b"not an image") is None
