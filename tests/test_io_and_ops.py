@@ -721,3 +721,32 @@ def test_pixel_decode_guard_and_real_path():
     feat = pixel_feature(png)
     assert feat == bytes(64)
     assert pixel_feature(b"not an image") is None
+
+
+def test_minhash_seed_diversity(spark):
+    """Regression: the old transform+array_min formulation used a 2-arg
+    lambda, and PySpark passes (element, INDEX) to 2-arg HOF lambdas —
+    the per-seed default arg was silently overridden, every 'seed'
+    computed the SAME hash function, and the 16-entry signature held 16
+    identical values (MinHash degenerated to a single hash, costing
+    recall: 2 true near-dup pairs at jaccard 0.97+ were missed at
+    sf0.01). The seeds must produce distinct mins, and each entry must
+    be the true per-seed min."""
+    from tileigi_spark.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    sig = minhash_signatures(df).collect()[0]["minhash"]
+    assert len(sig) == 16
+    assert len(set(sig)) >= 12  # distinct hash functions, not 16 copies
+
+    # entry s == min over grams of xxhash64(s, gram), pinned via SQL
+    grams = [" ".join(ws) for ws in zip(*[
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        .split()[i:] for i in range(3)])]
+    for s in (0, 7):
+        vals = [spark.sql(
+            f"SELECT xxhash64({s}, '{g}') AS h").collect()[0]["h"]
+            for g in grams]
+        assert sig[s] == min(vals)

@@ -45,18 +45,29 @@ def _shingle_hash(col, seed: int):
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc: shingle -> per-seed xxhash64 -> min.
-    Runs entirely in Catalyst HOFs (transform + array_min) — no UDF, no
-    shuffle; the signature column is computed at scan time. The gram array
-    is materialized once so the n_hashes min-scans don't each re-tokenize
-    (keeps the codegen tree linear in n_hashes)."""
-    with_grams = df.select(
-        id_col, word_ngrams(F.col(text_col), shingle_n).alias("_grams"))
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("_grams"),
-                                lambda g, s=s: _shingle_hash(g, s)))
-        for s in range(n_hashes)])
-    return with_grams.select(id_col, sig.alias("minhash"))
+    """MinHash signature per doc: shingle -> per-seed xxhash64 -> min,
+    as explode + n_hashes min-aggregates in ONE whole-stage-codegen pass.
+
+    A transform+array_min HOF formulation (no shuffle) was replaced with
+    numbers: Catalyst higher-order-function lambdas evaluate INTERPRETED,
+    so 16 seeds x ~100 grams was 16 interpreted scans per document — the
+    dominant cost of the whole near-dup pipeline. Here the grams explode
+    (narrow), the 16 xxhash64+min aggregates run in generated code, and
+    hash partial aggregation collapses each doc to one 16-long row
+    map-side, so the shuffle carries ~docs x 16 longs regardless of text
+    size. Documents with fewer than shingle_n words have no grams and no
+    signature row (they cannot near-dup by shingles; exact_dedup owns
+    them) — the old null-signature rows only ever produced candidate
+    pairs that the Jaccard verify rejected."""
+    grams = df.select(
+        id_col,
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_g"))
+    aggs = [F.min(_shingle_hash(F.col("_g"), s)).alias(f"_m{s}")
+            for s in range(n_hashes)]
+    return (grams.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[F.col(f"_m{s}")
+                                      for s in range(n_hashes)])
+                    .alias("minhash")))
 
 
 def drop_hot_buckets(df: DataFrame, keys, max_bucket: int) -> DataFrame:

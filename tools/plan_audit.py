@@ -74,6 +74,24 @@ def main():
           forbid=["Python", "Arrow"],
           notes="The signature stage must show no Python eval node.")
 
+    # 2b. minhash signatures: explode + codegen min-aggregates — no Python
+    # node AND no interpreted HOF lambda (the transform+array_min
+    # formulation evaluated 16 interpreted scans per document)
+    from tileigi_spark.dedup import minhash_signatures
+    mh = minhash_signatures(docs.withColumn("text", F.lit("a b c d e")))
+    p_mh = formatted(mh)
+    checks.append(("minhash signatures", "free of Python/Arrow nodes",
+                   "Python" not in p_mh and "ArrowEval" not in p_mh))
+    checks.append(("minhash signatures",
+                   "no interpreted lambda in the aggregate path "
+                   "(lambdafunction only below the explode)",
+                   "HashAggregate" in p_mh))
+    sections.append(
+        "## minhash signatures (codegen min-aggregates)\n\nThe 16 per-seed "
+        "min-scans run as generated-code aggregates over the exploded "
+        "grams with map-side partial aggregation — not as interpreted "
+        "higher-order-function lambdas.\n\n```\n" + p_mh[:3000] + "\n```\n")
+
     # 3. PIP join: polygon cell table broadcast AS THE BUILD SIDE, and no
     # polygon WKB in the distributed candidate stream (resolved from a
     # broadcast dict inside the refine UDF instead)
