@@ -43,6 +43,11 @@ def make_spark(cpus: int):
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+            # finer scan splits: the geometry stage is Python-bound, so
+            # scan-stage wave packing matters as much as the exchanges;
+            # 16m keeps ~4 tasks/core on the staged geo parquet (sf
+            # tables are single tiny files — unaffected)
+            .config("spark.sql.files.maxPartitionBytes", "16m")
             .config("spark.driver.memory", "48g")
             .config("spark.ui.enabled", "false")
             .getOrCreate())
@@ -137,7 +142,12 @@ def main():
     layers = Layers(layers=[Layer(id="pages", source="pages", minzoom=0,
                                   maxzoom=14, buffer=2, zoom_filter=thin)],
                     global_maxzoom=14)
-    tiles = build_tiles(spark, {"pages": feats}, layers, 0, MAXZOOM)
+    # cores*8 exchange partitions: the encode walk is Python-bound, so
+    # wave packing decides wall time (see encode_layers docstring);
+    # AQE's parallelismFirst would coalesce back to ~cores and idle the
+    # tail of every wave
+    tiles = build_tiles(spark, {"pages": feats}, layers, 0, MAXZOOM,
+                        shuffle_parts=cpus * 8)
     n_tiles = tiles.count()
     pyramid_secs = time.time() - t0
     timings[f"mvt_pyramid_z0_{MAXZOOM}"] = round(pyramid_secs, 3)

@@ -70,6 +70,12 @@ def main(argv=None):
     p.add_argument("--tilejson", default=None)
     p.add_argument("--salt-zoom-max", type=int, default=4)
     p.add_argument("--n-salts", type=int, default=16)
+    p.add_argument("--shuffle-parts", type=int, default=None,
+                   help="explicit partition count for the two encode "
+                        "exchanges (recommend total-cores*8; the encode "
+                        "walk is Python-bound, so wave packing decides "
+                        "wall time). Default: spark.sql.shuffle.partitions"
+                        " + AQE")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -131,6 +137,7 @@ def main(argv=None):
             metatile_scale=args.metatile_scale,
             salt_zoom_max=args.salt_zoom_max, n_salts=args.n_salts,
             compress=not args.no_compress,
+            shuffle_parts=args.shuffle_parts,
             include_empty=args.include_empty,
             done_keys=done if args.if_not_exists else None,
             bbox=bbox, metatile_keys=mt_keys)

@@ -415,7 +415,8 @@ def _mvt_value(v, t):
 
 
 def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
-                  salt_zoom_max: int = 4, n_salts: int = 16) -> DataFrame:
+                  salt_zoom_max: int = 4, n_salts: int = 16,
+                  shuffle_parts: Optional[int] = None) -> DataFrame:
     """A1: salted partial layer encode. One shuffle: repartition by
     (zoom,x,y,salt) + sortWithinPartitions, then a mapInPandas pass that
     walks the sorted stream and encodes one partial MVT layer message per
@@ -427,15 +428,28 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
 
     pieces: unioned per-layer outputs of geometry_stage with layer_id /
     layer_order columns. prop_types: layer_id -> {col -> Spark type}.
+
+    shuffle_parts: explicit partition count for the exchange. The encode
+    walk is Python-bound, so wave packing dominates wall time: with
+    partitions ~= cores, one straggler task idles every other core
+    (measured 5.3/8 cores busy at 14 tasks); at ~4-8x cores the tail is
+    1/8 of a wave (7.8/8 busy). AQE's parallelismFirst coalescing
+    actively re-creates the coarse case, so callers that know their
+    core count should pass cores*8 (bench.py does); None keeps the
+    spark.sql.shuffle.partitions + AQE behavior.
     """
-    salted = (pieces.withColumn(
-        "salt",
-        F.when(F.col("zoom") <= F.lit(salt_zoom_max),
-               F.pmod(F.col("feature_id"), F.lit(n_salts)).cast("int"))
-        .otherwise(F.lit(0)))
-        .repartition("zoom", "x", "y", "salt")
-        .sortWithinPartitions("zoom", "x", "y", "salt", "layer_order",
-                              "feature_id"))
+    salt_col = (F.when(F.col("zoom") <= F.lit(salt_zoom_max),
+                       F.pmod(F.col("feature_id"), F.lit(n_salts))
+                       .cast("int"))
+                .otherwise(F.lit(0)))
+    salted = pieces.withColumn("salt", salt_col)
+    if shuffle_parts is None:
+        salted = salted.repartition("zoom", "x", "y", "salt")
+    else:
+        salted = salted.repartition(shuffle_parts,
+                                    "zoom", "x", "y", "salt")
+    salted = salted.sortWithinPartitions("zoom", "x", "y", "salt",
+                                         "layer_order", "feature_id")
 
     all_props = sorted({p for d in prop_types.values() for p in d})
     out_schema = ("zoom int, x long, y long, salt int, layer_order int, "
@@ -484,15 +498,19 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
     return salted.mapInPandas(run, schema=out_schema)
 
 
-def assemble_tiles(partials: DataFrame, compress: bool = True) -> DataFrame:
+def assemble_tiles(partials: DataFrame, compress: bool = True,
+                   shuffle_parts: Optional[int] = None) -> DataFrame:
     """A2: merge salted partials per layer and zip layer messages into
     per-tile MVT tiles + gzip + md5 (content-address for O12 dedup,
     fileio.rs:136-148). One shuffle: repartition (zoom,x,y) + sorted
-    mapInPandas walk."""
-    ordered = (partials
-               .repartition("zoom", "x", "y")
-               .sortWithinPartitions("zoom", "x", "y", "layer_order",
-                                     "layer", "salt"))
+    mapInPandas walk. shuffle_parts: see encode_layers — same
+    Python-bound wave-packing argument."""
+    if shuffle_parts is None:
+        ordered = partials.repartition("zoom", "x", "y")
+    else:
+        ordered = partials.repartition(shuffle_parts, "zoom", "x", "y")
+    ordered = ordered.sortWithinPartitions("zoom", "x", "y", "layer_order",
+                                           "layer", "salt")
 
     schema = "zoom int, x long, y long, tile binary, tile_md5 string"
 
@@ -599,6 +617,7 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
                 layers: Layers, minzoom: int, maxzoom: int, *,
                 metatile_scale: int = 8, salt_zoom_max: int = 4,
                 n_salts: int = 16, compress: bool = True,
+                shuffle_parts: Optional[int] = None,
                 include_empty: bool = False,
                 done_keys: Optional[DataFrame] = None,
                 bbox: Optional[tuple] = None,
@@ -712,8 +731,10 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
     for other in per_layer[1:]:
         all_pieces = all_pieces.unionByName(other, allowMissingColumns=True)
 
-    partials = encode_layers(all_pieces, prop_types, salt_zoom_max, n_salts)
-    tiles = assemble_tiles(partials, compress=compress)
+    partials = encode_layers(all_pieces, prop_types, salt_zoom_max, n_salts,
+                             shuffle_parts=shuffle_parts)
+    tiles = assemble_tiles(partials, compress=compress,
+                           shuffle_parts=shuffle_parts)
 
     if include_empty:
         full = None
