@@ -59,3 +59,43 @@ def _compute_digest():
     for url in sorted(spans):
         h.update(url.encode() + b"|" + spans[url] + b"\n")
     return h.hexdigest()
+
+
+def test_arrow_fast_path_matches_perrow():
+    """extract_batch's re2 fast path must agree with the authoritative
+    per-row scanner on every format, including out-of-range first
+    mentions (where re2's first-match-only forces the fallback)."""
+    import numpy as np
+    import pandas as pd
+
+    from tileigi_spark.extract import _extract_batch_perrow, extract_batch
+
+    cases = [
+        "from 48.8566, 2.3522 ok", "(12.5,-170.3) paren",
+        "33.1S, 18.4E hemi", "junk 999.0, 5.0 then 10.0, 20.0",
+        None, "no coords here", "95.0, 5.0 out only", "1.2N, 3.4W",
+        "border 85.061, 0.0 then 84.0, 1.0", "",
+        "(999.9,1.0) then (10.0,20.0)", "-12.5W? 3.0S, 4.0W yes",
+        "190.0, 5.0 then 33.3S, 18.4E", "+48.85, +2.35 plus signs",
+    ]
+    texts = pd.Series(cases)
+    pd.testing.assert_frame_equal(extract_batch(texts),
+                                  _extract_batch_perrow(texts))
+
+    rng = np.random.default_rng(3)
+    rand = []
+    for _ in range(500):
+        lat = round(float(rng.uniform(-120, 120)), 4)
+        lon = round(float(rng.uniform(-200, 200)), 4)
+        fmt = int(rng.integers(0, 4))
+        if fmt == 0:
+            rand.append(f"text {lat}, {lon} tail")
+        elif fmt == 1:
+            rand.append(f"({lat},{lon})")
+        elif fmt == 2:
+            rand.append(f"{abs(lat)}S, {abs(lon)}W maybe")
+        else:
+            rand.append("no coordinates at all")
+    texts = pd.Series(rand)
+    pd.testing.assert_frame_equal(extract_batch(texts),
+                                  _extract_batch_perrow(texts))
