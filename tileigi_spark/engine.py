@@ -521,7 +521,6 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
     if stream is None:
         return None
     # per-row frame lengths -> group byte offsets
-    rowlen = np.full(n, 0, dtype=np.int64)
     # recompute widths the same way the framer did (cheap, avoids a
     # second return value): frame = 1 + fnb + body
     zzx = ((xs << 1) ^ (xs >> 63)).astype(np.uint64)
@@ -539,6 +538,10 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
     fnb = 1 + (body_len >= 0x80).astype(np.int64)
     rowlen = 1 + fnb + body_len
     cum = np.concatenate(([0], np.cumsum(rowlen)))
+    if cum[-1] != len(stream):
+        # width recomputation drifted from the framer — never slice a
+        # misaligned stream; per-row path is always correct
+        return None
 
     parts = []
     for g in range(nseg):

@@ -69,9 +69,11 @@ def main():
     preserved = ""
     if os.path.exists(out_path):
         old = open(out_path).read()
-        idx = old.find("\n## Round 2:")
-        if idx >= 0:
-            preserved = old[idx:]
+        for marker in ("\n## Round 3:", "\n## Round 2:"):
+            idx = old.find(marker)
+            if idx >= 0:
+                preserved = old[idx:]
+                break
     with open(out_path, "w") as f:
         f.write(f"""# BENCH — throughput + N→4N scaling efficiency
 
@@ -82,8 +84,8 @@ UDF) -> z0-z10 MVT pyramid ({r_n['throughput']['n_tiles']:,} tiles,
 low-zoom thinning via the !scale_denominator! idiom) -> point-in-polygon
 + kNN spatial joins ({r_n['throughput']['n_joined_rows']:,} joined rows).
 Same input at both parallelism levels, {reps} interleaved reps per leg,
-best-of per leg (host-contention noise documented below; all raw lines
-included).
+best-of per metric per leg (each metric is a separately-timed phase;
+host-contention noise documented below; all raw lines included).
 
 ## Primary measurement: local[{n}] vs local[{4 * n}] (N vs 4N)
 
