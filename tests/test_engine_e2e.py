@@ -146,3 +146,16 @@ def test_single_metatile_matches_full_build(spark):
     expected = {k: v for k, v in full.items()
                 if 0 <= k[1] <= 7 and 8 <= k[2] <= 15}
     assert one == expected
+
+
+def test_shuffle_parts_byte_invariant(spark, feats):
+    """Explicit wave-packed exchange partitioning (shuffle_parts) must
+    not change a single tile byte vs the default AQE-coalesced plan —
+    canonical (salt, layer_order, feature_id) sort order makes the
+    encode partitioning-independent."""
+    base = _build(spark, feats, 0, 2, 4)
+    packed = build_tiles(spark, {"features": feats}, LAYERS, 0, 2,
+                         shuffle_parts=37)
+    got = {(r["zoom"], r["x"], r["y"]): (r["tile_md5"], bytes(r["tile"]))
+           for r in packed.collect()}
+    assert got == base
