@@ -132,7 +132,7 @@ Reference baseline (BASELINE.md): tileigi publishes no numbers; its known
 scaling limit is the single writer thread + unbounded queue
 (lib.rs:233-251, README.adoc:72), which this engine removes entirely
 (distributed sink, content-addressed dedup). Single-node absolute
-throughput at 32 cores: ~40k tiles/sec on the same workload (see
+throughput at 32 cores: ~53k tiles/sec on the same workload (see
 BENCH_r*.json), versus the reference's single-threaded default.
 """)
         if preserved:
