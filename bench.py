@@ -38,7 +38,7 @@ def make_spark(cpus: int):
     return (SparkSession.builder
             .master(f"local[{cpus}]")
             .appName("tileigi-spark-bench")
-            .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+            .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 16)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
