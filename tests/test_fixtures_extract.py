@@ -77,6 +77,14 @@ def test_arrow_fast_path_matches_perrow():
         "border 85.061, 0.0 then 84.0, 1.0", "",
         "(999.9,1.0) then (10.0,20.0)", "-12.5W? 3.0S, 4.0W yes",
         "190.0, 5.0 then 33.3S, 18.4E", "+48.85, +2.35 plus signs",
+        # non-ASCII rows: re2's \s/\d are ASCII-only, Python's are
+        # Unicode-aware — these must route through the per-row engine
+        "Paris: 48.8566,\xa02.3522 nbsp separator",
+        "unicode digits ٤٨.٥, ٢.٣ end",
+        "café at 10.5, 20.25 non-ascii elsewhere",
+        "\xa0leading nbsp then (1.25,2.5)",
+        "999.0,\xa05.0 oor-nbsp then 10.0,\xa020.0",
+        "only unicode junk ☃☃☃",
     ]
     texts = pd.Series(cases)
     pd.testing.assert_frame_equal(extract_batch(texts),

@@ -476,6 +476,27 @@ def test_extractor_formats():
     assert extract_one("89.0, 10.0") is None
 
 
+def test_geotag_pages_unicode_rows(spark):
+    """End-to-end geotag over non-ASCII pages: the (?U) rlike prefilter
+    must keep Unicode-digit rows and the Arrow fast path must defer to
+    the authoritative Python engine for NBSP/Unicode text."""
+    from tileigi_spark.extract import geotag_pages
+
+    pages = spark.createDataFrame(
+        [("u1", "en", "Paris: 48.8566,\xa02.3522 nbsp separator"),
+         ("u2", "ar", "unicode digits ٤٨.٥, ٢.٣ end"),
+         ("u3", "en", "plain 10.5, 20.25 ascii"),
+         ("u4", "en", "no coordinates at all"),
+         ("u5", "en", "café ☃ unicode but no coords")],
+        "url string, lang string, text string")
+    got = {r["url"]: (r["lat"], r["lon"], r["span"])
+           for r in geotag_pages(pages).collect()}
+    assert got["u1"] == (48.8566, 2.3522, "48.8566,\xa02.3522")
+    assert got["u2"] == (48.5, 2.3, "٤٨.٥, ٢.٣")
+    assert got["u3"] == (10.5, 20.25, "10.5, 20.25")
+    assert set(got) == {"u1", "u2", "u3"}
+
+
 def test_image_header_parsing():
     """Real container headers parse to true dimensions (pure Python)."""
     import struct

@@ -79,6 +79,15 @@ def extract_batch(texts: pd.Series) -> pd.DataFrame:
         import pyarrow as pa
         import pyarrow.compute as pc
         arr = pa.Array.from_pandas(texts, type=pa.string())
+        # re2's \s and \d are ASCII-only while the authoritative Python
+        # COORD_RE is Unicode-aware (NBSP separators, Unicode digits).
+        # Gate the fast path per row: non-ASCII rows are re-scanned by the
+        # per-row engine below, so the fast path never decides them.
+        nonascii = pc.invert(
+            pc.match_substring_regex(arr, r"^[\x00-\x7F]*$"))
+        nonascii_np = nonascii.to_numpy(zero_copy_only=False)
+        nonascii_np = np.where(pd.isna(nonascii_np), False,
+                               nonascii_np).astype(bool)
         ext = pc.extract_regex(arr, pattern=COORD_RE.pattern)
     except Exception:
         return _extract_batch_perrow(texts)
@@ -126,14 +135,15 @@ def extract_batch(texts: pd.Series) -> pd.DataFrame:
     spans = np.where(ok, span, None)
 
     # first mention out of range: extract_one keeps scanning — rerun
-    # those rows (rare: junk-leading pages) through the per-row path
-    retry = np.flatnonzero(matched & ~in_range)
+    # those rows (rare: junk-leading pages) through the per-row path.
+    # Non-ASCII rows always rerun: re2's ASCII \s/\d may have missed or
+    # mis-picked the span, so the Python engine fully overrides them.
+    retry = np.flatnonzero((matched & ~in_range) | nonascii_np)
     if len(retry):
         sub = _extract_batch_perrow(texts.iloc[retry])
         lats[retry] = sub["lat"].values
         lons[retry] = sub["lon"].values
-        hit = ~sub["lat"].isna().values
-        spans[retry[hit]] = sub["span"].values[hit]
+        spans[retry] = sub["span"].values
     return pd.DataFrame({"lat": lats, "lon": lons,
                          "span": pd.Series(spans, dtype=object)})
 
@@ -152,9 +162,13 @@ def geotag_pages(pages_df, text_col: str = "text", url_col: str = "url"):
     # JVM-side prefilter: every coordinate mention contains a
     # digit(1-3).digit token, so the no-match majority of a real crawl is
     # skipped before any bytes cross into Python (rlike is a cheap
-    # codegen'd scan predicate; the Python regex stays authoritative)
+    # codegen'd scan predicate; the Python regex stays authoritative).
+    # (?U) = Java UNICODE_CHARACTER_CLASS so \d matches the same Unicode
+    # digits Python's re does — without it the prefilter would drop rows
+    # the authoritative extractor can parse (float() accepts Unicode
+    # decimal digits).
     pages_df = pages_df.filter(
-        F.col(text_col).rlike(r"\d{1,3}\.\d"))
+        F.col(text_col).rlike(r"(?U)\d{1,3}\.\d"))
 
     out_schema = ("url string, lang string, lat double, lon double, "
                   "mx double, my double, span string, way binary")
