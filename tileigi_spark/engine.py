@@ -231,13 +231,19 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
 
 
 def _points_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
-                      metatile_scale: int, rows: dict) -> pd.DataFrame:
+                      metatile_scale: int):
     """Vectorized numpy pipeline for simple WKB points (the dominant case
     for geotagged web pages). Exactly equivalent to the recursive path:
     remap (round half away from zero), clip to the buffered bbox, and the
     quadtree slice collapses to the closed interval
     [t*4096 - buffer, (t+1)*4096 + buffer] per tile t (verified by the
-    fast/slow parity test). Appends output rows to `rows`."""
+    fast/slow parity test). Returns an output-piece DataFrame or None.
+
+    The fan-out=1 case (point interior to one tile — overwhelmingly
+    common) is assembled entirely from numpy arrays, including the WKB
+    bytes as one byte matrix (same pattern as extract.geotag_pages);
+    only points within buffer distance of a tile edge drop to the
+    per-row loop."""
     import numpy as np
 
     ways = pdf["way"]
@@ -269,7 +275,7 @@ def _points_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
     keep = ((u >= -buffer_units) & (u <= ext_i + buffer_units) &
             (v >= -buffer_units) & (v <= ext_i + buffer_units))
     if not keep.any():
-        return
+        return None
 
     idx = np.nonzero(keep)[0]
     u, v = u[idx], v[idx]
@@ -283,18 +289,52 @@ def _points_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
     ty_hi = np.minimum((v + buffer_units) // 4096, size_mt - 1)
 
     prop_vals = {p: pdf[p].to_numpy()[idx] for p in prop_names}
-    for j in range(len(idx)):
-        for tx in range(tx_lo[j], tx_hi[j] + 1):
-            for ty in range(ty_lo[j], ty_hi[j] + 1):
-                rows["zoom"].append(int(zoom_k[j]))
-                rows["x"].append(int(x0t[j] + tx))
-                rows["y"].append(int(y0t[j] + ty))
-                rows["feature_id"].append(int(fid[j]))
-                rows["geom"].append(geom_to_wkb(
-                    ("Point", (int(u[j]) - tx * 4096,
-                               int(v[j]) - ty * 4096))))
-                for p in prop_names:
-                    rows[p].append(prop_vals[p][j])
+    cols = ["zoom", "x", "y", "feature_id", "geom"] + prop_names
+    frames = []
+
+    fan1 = (tx_hi == tx_lo) & (ty_hi == ty_lo)
+    s = np.nonzero(fan1)[0]
+    if len(s):
+        tx, ty = tx_lo[s], ty_lo[s]
+        gx = (u[s] - tx * 4096).astype("<f8")
+        gy = (v[s] - ty * 4096).astype("<f8")
+        m = len(s)
+        wb = np.empty((m, 21), dtype=np.uint8)
+        wb[:, 0] = 1   # little-endian
+        wb[:, 1] = 1   # wkbPoint
+        wb[:, 2:5] = 0
+        wb[:, 5:13] = gx.view(np.uint8).reshape(-1, 8)
+        wb[:, 13:21] = gy.view(np.uint8).reshape(-1, 8)
+        raw = wb.tobytes()
+        d = {"zoom": zoom_k[s], "x": x0t[s] + tx, "y": y0t[s] + ty,
+             "feature_id": fid[s],
+             "geom": pd.Series([raw[i * 21:(i + 1) * 21] for i in range(m)],
+                               dtype=object)}
+        for p in prop_names:
+            d[p] = prop_vals[p][s]
+        frames.append(pd.DataFrame(d, columns=cols))
+
+    multi = np.nonzero(~fan1)[0]
+    if len(multi):
+        rows = {k: [] for k in cols}
+        for j in multi:
+            for tx in range(tx_lo[j], tx_hi[j] + 1):
+                for ty in range(ty_lo[j], ty_hi[j] + 1):
+                    rows["zoom"].append(int(zoom_k[j]))
+                    rows["x"].append(int(x0t[j] + tx))
+                    rows["y"].append(int(y0t[j] + ty))
+                    rows["feature_id"].append(int(fid[j]))
+                    rows["geom"].append(geom_to_wkb(
+                        ("Point", (int(u[j]) - tx * 4096,
+                                   int(v[j]) - ty * 4096))))
+                    for p in prop_names:
+                        rows[p].append(prop_vals[p][j])
+        frames.append(pd.DataFrame(rows, columns=cols))
+
+    if not frames:
+        return None
+    return frames[0] if len(frames) == 1 else \
+        pd.concat(frames, ignore_index=True)
 
 
 def _is_simple_point_wkb(w) -> bool:
@@ -323,14 +363,17 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
     buffer_units = buffer_px * 16  # lib.rs:508
 
     def run(iterator):
+        cols = ["zoom", "x", "y", "feature_id", "geom"] + prop_names
         for pdf in iterator:
-            rows = {k: [] for k in
-                    ["zoom", "x", "y", "feature_id", "geom"] + prop_names}
+            frames = []
+            rows = {k: [] for k in cols}
             is_pt = pdf["way"].map(_is_simple_point_wkb)
             pts = pdf[is_pt.values]
             if len(pts):
-                _points_fast_path(pts, prop_names, buffer_units,
-                                  metatile_scale, rows)
+                f = _points_fast_path(pts, prop_names, buffer_units,
+                                      metatile_scale)
+                if f is not None:
+                    frames.append(f)
             pdf = pdf[~is_pt.values]
             for row in pdf.itertuples(index=False):
                 zoom = int(row.zoom)
@@ -383,7 +426,10 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                     for p in prop_names:
                         rows[p].append(getattr(row, p))
             if rows["zoom"]:
-                yield pd.DataFrame(rows)
+                frames.append(pd.DataFrame(rows, columns=cols))
+            if frames:
+                yield (frames[0] if len(frames) == 1 else
+                       pd.concat(frames, ignore_index=True))
 
     return covered.mapInPandas(run, schema=out_schema)
 
