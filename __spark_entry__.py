@@ -425,26 +425,155 @@ ORDER BY a, b
 
 
 def _q_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64 signatures; no SQL oracle —
-    rows-only check)."""
-    from tileigi_spark.dedup import minhash_dedup_pairs
+    """MinHash+LSH near-dup pairs. Uses the md5-derived 64-bit hash
+    (dedup.md5_hash64) instead of the xxhash64 production default so
+    DuckDB can oracle the full banding+verify logic; the pipeline shape
+    is hash-agnostic."""
+    from tileigi_spark.dedup import md5_hash64, minhash_dedup_pairs
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter(F.col("doc_id") < 1000)
             .withColumn("dtext", _derived_text()))
-    return minhash_dedup_pairs(docs, text_col="dtext", threshold=0.5) \
+    return minhash_dedup_pairs(docs, text_col="dtext", threshold=0.5,
+                               hash_fn=md5_hash64) \
         .orderBy("a", "b")
 
 
+# md5-derived 60-bit hash, identical on both engines:
+#   Spark  conv(substr(md5(x),1,15),16,10)::bigint
+#   DuckDB CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)
+def _md5h(x):
+    return f"CAST(('0x'||substr(md5({x}),1,15)) AS BIGINT)"
+
+
+_MINHASH_SIG_COLS = ",\n    ".join(
+    f"MIN({_md5h(repr(str(s)) + ' || ' + repr('|') + ' || g')}) AS m{s}"
+    for s in range(16))
+
+_MINHASH_BANDS = "\n      ".join(
+    "WHEN {b} THEN {h}".format(
+        b=b,
+        h=_md5h("||'|'||".join(f"CAST(m{b * 4 + r} AS VARCHAR)"
+                               for r in range(4))))
+    for b in range(4))
+
+_MINHASH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_DERIVED_TEXT_SQL} AS dtext
+  FROM documents WHERE doc_id < 1000
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(dtext), '\\s+') AS w FROM docs
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE len(w) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+    {_MINHASH_SIG_COLS}
+  FROM grams GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, band_idx,
+    CASE band_idx
+      {_MINHASH_BANDS}
+    END AS band_hash
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bb(band_idx)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT b.*, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bn
+    FROM banded b) WHERE bn <= 10000
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM kept l JOIN kept r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+),
+gsets AS (
+  SELECT doc_id, list_distinct(list(g)) AS gs FROM grams GROUP BY doc_id
+)
+SELECT c.a, c.b,
+  CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+    / CAST(GREATEST(len(list_distinct(list_concat(x.gs, y.gs))), 1)
+           AS DOUBLE) AS jaccard
+FROM cand c JOIN gsets x ON x.doc_id = c.a JOIN gsets y ON y.doc_id = c.b
+WHERE CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+    / CAST(GREATEST(len(list_distinct(list_concat(x.gs, y.gs))), 1)
+           AS DOUBLE) >= 0.5
+ORDER BY a, b
+"""
+
+
 def _q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs, Hamming <= 3 (rows-only check)."""
-    from tileigi_spark.dedup import simhash_near_dups
+    """SimHash near-dup pairs, Hamming <= 1, md5-derived token hash so
+    the bit-vote + pigeonhole-block logic has a DuckDB oracle twin
+    (xxhash64 stays the production default)."""
+    from tileigi_spark.dedup import MD5_HASH64_SQL, simhash_near_dups
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter(F.col("doc_id") < 500)
             .withColumn("dtext", _derived_text()))
-    return simhash_near_dups(docs, text_col="dtext", max_hamming=1) \
+    return simhash_near_dups(docs, text_col="dtext", max_hamming=1,
+                             token_hash_sql=MD5_HASH64_SQL.format(x="t")) \
         .orderBy("a", "b")
+
+
+# The md5-derived hash is 60 bits, so token-hash bits 60-63 are always
+# zero and their majority votes are zero on both engines; the oracle only
+# materializes bits 0-59. SUM over BIGINT is HUGEINT in DuckDB — cast back.
+_SIMHASH_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_DERIVED_TEXT_SQL} AS dtext
+  FROM documents WHERE doc_id < 500
+),
+tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(trim(dtext), '\\s+'), t -> t != '')) AS t
+  FROM docs
+),
+th AS (SELECT doc_id, {_md5h('t')} AS h FROM tok),
+votes AS (
+  SELECT doc_id, b, SUM((h >> b) & 1) AS v, COUNT(*) AS n
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+  GROUP BY doc_id, b
+),
+sigp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN v * 2 > n
+             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+             ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM docs d LEFT JOIN sigp s ON d.doc_id = s.doc_id
+),
+blk AS (
+  SELECT doc_id, simhash, block_idx,
+    CASE WHEN block_idx = 0 THEN simhash & 4294967295
+         ELSE (simhash >> 32) & 4294967295 END AS block_val
+  FROM sig, (VALUES (0), (1)) AS bb(block_idx)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT blk.*, COUNT(*) OVER (PARTITION BY block_idx, block_val) AS bn
+    FROM blk) WHERE bn <= 10000
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM kept l JOIN kept r
+    ON l.block_idx = r.block_idx AND l.block_val = r.block_val
+   AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 1
+ORDER BY a, b
+"""
 
 
 def _q_ann(spark, sf_dir):
@@ -981,6 +1110,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_points": _KNN_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
+        "dedup_minhash": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _DEDUP_EMBEDDING_SQL,
         "dedup_embedding_lsh": _DEDUP_EMBEDDING_LSH_SQL,
         "ann_topk": _ANN_SQL,
@@ -994,7 +1125,6 @@ def oracle_sql() -> dict[str, str]:
         "bbox_pyramid": _bbox_pyramid_sql(),
         "poly_pieces_z2": _POLY_PIECES_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
-        # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash
-        # (xxhash64 has no DuckDB equivalent), mvt_pyramid (binary tile
+        # rows-only (non-SQL-expressible): mvt_pyramid (binary tile
         # bytes; pinned by golden-byte pytest fixtures instead)
     }

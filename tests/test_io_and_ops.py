@@ -461,6 +461,55 @@ def test_bucket_cap_drops_hot_buckets(spark):
     assert {100, 101, 102} <= kept_ids or len(kept_ids) >= 1
 
 
+def test_md5_hash64_matches_duckdb(spark):
+    """dedup.md5_hash64 (the DuckDB-expressible hash that lets the driver
+    oracle MinHash/SimHash logic) must equal DuckDB's
+    CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) for single and
+    multi-column inputs."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from tileigi_spark.dedup import md5_hash64
+
+    df = spark.createDataFrame(
+        [("alpha beta", 0), ("x", 7), ("", 3)], "t string, s int")
+    got = df.select(md5_hash64(F.col("t")).alias("h1"),
+                    md5_hash64(F.col("s"), F.col("t")).alias("h2")) \
+        .collect()
+    con = duckdb.connect()
+    for (t, s), row in zip([("alpha beta", 0), ("x", 7), ("", 3)], got):
+        h1 = con.execute(
+            "SELECT CAST(('0x'||substr(md5(?),1,15)) AS BIGINT)",
+            [t]).fetchone()[0]
+        h2 = con.execute(
+            "SELECT CAST(('0x'||substr(md5(CAST(? AS VARCHAR)||'|'||?),"
+            "1,15)) AS BIGINT)", [s, t]).fetchone()[0]
+        assert row["h1"] == h1
+        assert row["h2"] == h2
+
+
+def test_dedup_hash_fn_parameterization(spark):
+    """MinHash/SimHash pipelines accept an alternate hash and produce the
+    same near-dup structure for exact-duplicate texts regardless of the
+    hash function (exact dup pairs survive any hash)."""
+    from tileigi_spark.dedup import (MD5_HASH64_SQL, md5_hash64,
+                                     minhash_dedup_pairs, simhash_near_dups)
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+         range(4)] + [(10, "totally different words entirely here now "
+                           "unrelated content")],
+        "doc_id long, text string")
+    for kw in ({}, {"hash_fn": md5_hash64}):
+        pairs = {(r["a"], r["b"]) for r in
+                 minhash_dedup_pairs(docs, threshold=0.9, **kw).collect()}
+        assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+    for kw in ({}, {"token_hash_sql": MD5_HASH64_SQL.format(x="t")}):
+        pairs = {(r["a"], r["b"]) for r in
+                 simhash_near_dups(docs, max_hamming=0, **kw).collect()}
+        assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
 def test_extractor_formats():
     from tileigi_spark.extract import extract_one
 

@@ -37,14 +37,31 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- minhash
 
-def _shingle_hash(col, seed: int):
-    # deterministic per-seed hash: xxhash64 of (seed, shingle)
-    return F.xxhash64(F.lit(seed), col)
+def md5_hash64(*cols):
+    """DuckDB-expressible 64-bit hash: first 15 md5 hex chars (60 bits)
+    of the '|'-joined string casts. Spark's xxhash64 has no DuckDB twin,
+    so this variant lets the driver oracle the MinHash/SimHash *logic*
+    (banding, pigeonhole blocks, verify) end-to-end — DuckDB computes the
+    identical value as CAST(('0x'||substr(md5(x),1,15)) AS BIGINT).
+    xxhash64 stays the production default (faster: one JVM codegen call
+    vs md5+conv)."""
+    s = F.concat_ws("|", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+# SQL-expr twin of md5_hash64 for simhash's token-hash template
+MD5_HASH64_SQL = ("cast(conv(substring(md5({x}), 1, 15), 16, 10) "
+                  "as bigint)")
+
+
+def _shingle_hash(col, seed: int, hash_fn=None):
+    # deterministic per-seed hash: hash_fn of (seed, shingle)
+    return (hash_fn or F.xxhash64)(F.lit(seed), col)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3, hash_fn=None) -> DataFrame:
     """MinHash signature per doc: shingle -> per-seed xxhash64 -> min,
     as explode + n_hashes min-aggregates in ONE whole-stage-codegen pass.
 
@@ -62,7 +79,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     grams = df.select(
         id_col,
         F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_g"))
-    aggs = [F.min(_shingle_hash(F.col("_g"), s)).alias(f"_m{s}")
+    aggs = [F.min(_shingle_hash(F.col("_g"), s, hash_fn)).alias(f"_m{s}")
             for s in range(n_hashes)]
     return (grams.groupBy(id_col).agg(*aggs)
             .select(id_col, F.array(*[F.col(f"_m{s}")
@@ -94,19 +111,21 @@ def drop_hot_buckets(df: DataFrame, keys, max_bucket: int) -> DataFrame:
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        bands: int = 4, shingle_n: int = 3,
-                       max_bucket: int = 10_000) -> DataFrame:
+                       max_bucket: int = 10_000, hash_fn=None) -> DataFrame:
     """LSH banding: split the signature into `bands` rows, bucket-join on
     (band_idx, band_hash), emit candidate pairs (a < b). The join is an
     equi self-join on the band bucket — Spark's native strength; bucket
     sizes bound the pair blow-up, and drop_hot_buckets caps the degenerate
     exact-duplicate-cluster buckets that would otherwise go quadratic."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    hf = hash_fn or F.xxhash64
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
+                              hash_fn)
     banded = (sigs.select(
         id_col,
         F.posexplode(F.array(*[
-            F.xxhash64(*[F.element_at("minhash", b * rows_per_band + r + 1)
-                         for r in range(rows_per_band)])
+            hf(*[F.element_at("minhash", b * rows_per_band + r + 1)
+                 for r in range(rows_per_band)])
             for b in range(bands)])).alias("band_idx", "band_hash")))
     banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket)
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
@@ -143,7 +162,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         bands: int = 4, shingle_n: int = 3,
                         threshold: float = 0.7,
                         max_bucket: int = 10_000,
-                        exact_first: bool = False) -> DataFrame:
+                        exact_first: bool = False, hash_fn=None) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline.
 
     exact_first=True is the production ordering for corpora with large
@@ -155,14 +174,15 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     if exact_first:
         df = exact_dedup(df, text_col, id_col).drop("content_md5")
     cands = minhash_candidates(df, text_col, id_col, n_hashes, bands,
-                               shingle_n, max_bucket)
+                               shingle_n, max_bucket, hash_fn)
     return jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
 
 
 # ---------------------------------------------------------------- simhash
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       token_hash_sql: str = "xxhash64(t)") -> DataFrame:
     """64-bit SimHash per document, entirely in Catalyst HOFs — no Python
     in the hot path (the per-word-Python signature stage was the classic
     row-at-a-time anti-pattern). Tokens are whitespace-split, hashed with
@@ -172,7 +192,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     majority vote over zero tokens."""
     hs = F.expr(
         f"transform(filter(split(trim({text_col}), '\\\\s+'), "
-        f"t -> t != ''), t -> xxhash64(t))")
+        f"t -> t != ''), t -> {token_hash_sql})")
     sig = F.expr("""
         aggregate(
           zip_with(
@@ -190,7 +210,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
                       max_bucket: int = 10_000,
-                      exact_first: bool = False) -> DataFrame:
+                      exact_first: bool = False,
+                      token_hash_sql: str = "xxhash64(t)") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= k, using the pigeonhole
     block trick: split 64 bits into (k+1) blocks; any pair within distance k
     agrees exactly on >= 1 block -> equi-join per block, then verify.
@@ -201,7 +222,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     representative before blocking (the production pipeline ordering)."""
     if exact_first:
         df = exact_dedup(df, text_col, id_col).drop("content_md5")
-    sh = simhash_signatures(df, text_col, id_col)
+    sh = simhash_signatures(df, text_col, id_col, token_hash_sql)
     blocks = max_hamming + 1
     width = 64 // blocks
 
