@@ -85,6 +85,107 @@ def synth_pages(spark, sf_dir: str, replicas: int):
         "lang")
 
 
+def synth_boxes(spark, n: int):
+    """Deterministic axis-aligned box polygons from id arithmetic (no
+    external data): jittered centers across the mercator plane, half-sizes
+    from ~2 km to ~600 km, one third reversed winding so the make_valid
+    repair path is exercised. WKB (93 bytes per 5-point single-ring
+    polygon) and the bbox columns are assembled as one numpy byte matrix
+    per Arrow batch — no per-row Python in the synth path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from tileigi_spark.mercator import MERC_MAX
+
+    par = spark.sparkContext.defaultParallelism * 2
+    ids = spark.range(n).repartition(par)
+    out_schema = ("feature_id long, way binary, kind string, "
+                  "xmin double, ymin double, xmax double, ymax double")
+
+    def gen(iterator):
+        for pdf in iterator:
+            i = pdf["id"].to_numpy(np.int64)
+            m = len(i)
+            if m == 0:
+                continue
+            span = 0.95 * MERC_MAX
+            cx = ((i * 2654435761) % 2_000_000) / 1e6 * span - span
+            cy = ((i * 40503) % 2_000_000) / 1e6 * span - span
+            hw = 2000.0 * (1.0 + (i % 289)).astype(np.float64)
+            hh = 2000.0 * (1.0 + ((i * 7) % 289)).astype(np.float64)
+            x0, x1 = cx - hw, cx + hw
+            y0, y1 = cy - hh, cy + hh
+            rev = (i % 3) == 0
+            # ring corners (x0,y0)(x1,y0)(x1,y1)(x0,y1) closed; reversed
+            # winding swaps corners 1 and 3
+            px = np.stack([x0, np.where(rev, x0, x1), x1,
+                           np.where(rev, x1, x0), x0], axis=1)
+            py = np.stack([y0, np.where(rev, y1, y0), y1,
+                           np.where(rev, y0, y1), y0], axis=1)
+            buf = np.empty((m, 93), dtype=np.uint8)
+            buf[:, 0] = 1
+            buf[:, 1:5] = np.array([3, 0, 0, 0], dtype=np.uint8)   # type
+            buf[:, 5:9] = np.array([1, 0, 0, 0], dtype=np.uint8)   # rings
+            buf[:, 9:13] = np.array([5, 0, 0, 0], dtype=np.uint8)  # points
+            pts = np.empty((m, 5, 2), dtype="<f8")
+            pts[:, :, 0] = px
+            pts[:, :, 1] = py
+            buf[:, 13:93] = pts.reshape(m, 10).view(np.uint8)
+            raw = buf.tobytes()
+            yield pd.DataFrame({
+                "feature_id": i,
+                "way": [raw[j * 93:(j + 1) * 93] for j in range(m)],
+                "kind": np.char.add("kind-", (i % 7).astype("U1")),
+                "xmin": x0, "ymin": y0, "xmax": x1, "ymax": y1,
+            })
+
+    return ids.mapInPandas(gen, out_schema)
+
+
+def synth_lines(spark, n: int):
+    """Deterministic 4-point zigzag polylines (73-byte WKB), same
+    vectorized assembly as synth_boxes."""
+    import numpy as np
+    import pandas as pd
+    from tileigi_spark.mercator import MERC_MAX
+
+    par = spark.sparkContext.defaultParallelism * 2
+    ids = spark.range(n).repartition(par)
+    out_schema = ("feature_id long, way binary, kind string, "
+                  "xmin double, ymin double, xmax double, ymax double")
+
+    def gen(iterator):
+        for pdf in iterator:
+            i = pdf["id"].to_numpy(np.int64)
+            m = len(i)
+            if m == 0:
+                continue
+            span = 0.95 * MERC_MAX
+            cx = ((i * 1812433253 + 11) % 2_000_000) / 1e6 * span - span
+            cy = ((i * 69069 + 5) % 2_000_000) / 1e6 * span - span
+            s = 3000.0 * (1.0 + (i % 211)).astype(np.float64)
+            px = np.stack([cx - 2 * s, cx, cx + 2 * s, cx + 3 * s], axis=1)
+            py = np.stack([cy, cy + s, cy - s, cy], axis=1)
+            buf = np.empty((m, 73), dtype=np.uint8)
+            buf[:, 0] = 1
+            buf[:, 1:5] = np.array([2, 0, 0, 0], dtype=np.uint8)   # type
+            buf[:, 5:9] = np.array([4, 0, 0, 0], dtype=np.uint8)   # points
+            pts = np.empty((m, 4, 2), dtype="<f8")
+            pts[:, :, 0] = px
+            pts[:, :, 1] = py
+            buf[:, 9:73] = pts.reshape(m, 8).view(np.uint8)
+            raw = buf.tobytes()
+            yield pd.DataFrame({
+                "feature_id": i,
+                "way": [raw[j * 73:(j + 1) * 73] for j in range(m)],
+                "kind": np.char.add("way-", (i % 5).astype("U1")),
+                "xmin": px.min(axis=1), "ymin": py.min(axis=1),
+                "xmax": px.max(axis=1), "ymax": py.max(axis=1),
+            })
+
+    return ids.mapInPandas(gen, out_schema)
+
+
 def pages_to_features(geo):
     """Geotagged pages -> engine features with precomputed bbox columns
     (pure JVM mercator from lat/lon; keeps the pre-shuffle pipeline free
@@ -181,6 +282,60 @@ def main():
     extra["joined_rows_per_sec"] = round((n_pip + n_knn) /
                                          (pip_secs + knn_secs), 1)
     extra["n_joined_rows"] = n_pip + n_knn
+
+    # ---- polygon-dense pyramid (reference workloads are polygon-heavy,
+    # lib.rs:559-728 — the point flagship alone never exercises the
+    # S-H clip / quadtree slice / make_valid chain at scale)
+    t0 = time.time()
+    n_polys = REPLICAS * 250
+    boxes = synth_boxes(spark, n_polys)
+    boxes.write.mode("overwrite").parquet(f"{workdir}/boxes")
+    boxes = spark.read.parquet(f"{workdir}/boxes")
+    poly_mz = int(os.environ.get("SPARK_GRAFT_BENCH_POLY_MAXZOOM", "8"))
+    poly_thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({poly_mz} - "
+                 f"zoom))) = 0")
+    poly_layers = Layers(layers=[Layer(id="boxes", source="boxes",
+                                       minzoom=0, maxzoom=14, buffer=2,
+                                       zoom_filter=poly_thin)],
+                         global_maxzoom=14)
+    ptiles = build_tiles(spark, {"boxes": boxes}, poly_layers, 0, poly_mz,
+                         shuffle_parts=cpus * 8)
+    n_ptiles = ptiles.count()
+    poly_secs = time.time() - t0
+    timings[f"poly_pyramid_z0_{poly_mz}"] = round(poly_secs, 3)
+    _p(f"phase poly_pyramid {poly_secs:.1f}s tiles={n_ptiles} "
+       f"polys={n_polys}")
+    extra["poly_tiles_per_sec"] = round(n_ptiles / poly_secs, 2)
+    extra["n_poly_tiles"] = n_ptiles
+    extra["n_polys"] = n_polys
+
+    # ---- multi-layer pyramid: points + lines + polygons with distinct
+    # zoom ranges, one layer via the SQL-template path (!zoom! token) —
+    # exercises the per-tile layer zip/merge (A2, lib.rs:472-487) at scale
+    t0 = time.time()
+    synth_lines(spark, REPLICAS * 100).write.mode("overwrite") \
+        .parquet(f"{workdir}/lines")
+    lines = spark.read.parquet(f"{workdir}/lines")
+    pts_feats = feats.filter(F.pmod(F.abs(F.col("feature_id")),
+                                    F.lit(64)) == 0)
+    ml_layers = Layers(layers=[
+        Layer(id="pages", source="pages", minzoom=4, maxzoom=14, buffer=2),
+        Layer(id="roads", source="bench_lines", minzoom=2, maxzoom=14,
+              buffer=4,
+              sql=("SELECT * FROM bench_lines "
+                   "WHERE !zoom! >= 5 OR kind = 'way-0'")),
+        Layer(id="landuse", source="boxes", minzoom=0, maxzoom=6,
+              buffer=2),
+    ], global_maxzoom=14)
+    mtiles = build_tiles(spark, {"pages": pts_feats, "boxes": boxes,
+                                 "bench_lines": lines},
+                         ml_layers, 0, 7, shuffle_parts=cpus * 8)
+    n_mtiles = mtiles.count()
+    ml_secs = time.time() - t0
+    timings["multilayer_pyramid_z0_7"] = round(ml_secs, 3)
+    _p(f"phase multilayer {ml_secs:.1f}s tiles={n_mtiles}")
+    extra["multilayer_tiles_per_sec"] = round(n_mtiles / ml_secs, 2)
+    extra["n_multilayer_tiles"] = n_mtiles
 
     import shutil
     shutil.rmtree(workdir, ignore_errors=True)

@@ -498,3 +498,62 @@ class TestDistributeInteriors:
         polys = [[sq], [right]]
         distribute_interiors(polys, [inner])
         assert polys == [[sq, inner], [right]]
+
+
+class TestAxisRectFastPath:
+    """The axis-rect shortcuts in has_self_intersections and make_valid
+    must be byte-equivalent to the slow path (fast path disabled by
+    monkeypatching the detector) over random bounds, starts, windings."""
+
+    @staticmethod
+    def _rect_ring(x0, y0, x1, y1, start, cw):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        if not cw:
+            pts = pts[::-1]
+        pts = pts[start:] + pts[:start]
+        return pts + [pts[0]]
+
+    def test_detector(self):
+        from tileigi_spark.geom.validity import _is_axis_rect_ring
+
+        assert _is_axis_rect_ring(self._rect_ring(0, 0, 5, 7, 2, False))
+        # not closed / degenerate / diagonal edge / collinear extra point
+        assert not _is_axis_rect_ring([(0, 0), (5, 0), (5, 7), (0, 7)])
+        assert not _is_axis_rect_ring(
+            [(0, 0), (5, 0), (5, 0), (0, 0), (0, 0)])
+        assert not _is_axis_rect_ring(
+            [(0, 0), (5, 1), (5, 7), (0, 7), (0, 0)])
+        assert not _is_axis_rect_ring(
+            [(0, 0), (3, 0), (5, 0), (5, 7), (0, 0)])
+
+    def test_matches_slow_path(self, monkeypatch):
+        import random
+
+        from tileigi_spark.geom import validity
+
+        random.seed(20260817)
+        cases = []
+        for _ in range(400):
+            x0, x1 = sorted(random.sample(range(-33000, 33001), 2))
+            y0, y1 = sorted(random.sample(range(-33000, 33001), 2))
+            cases.append((x0, y0, x1, y1,
+                          random.randrange(4), random.random() < 0.5))
+        # include tiny rects and full-extent rects (shoelace i32 wrap)
+        cases += [(0, 0, 1, 1, s, cw) for s in range(4)
+                  for cw in (True, False)]
+        cases += [(-32, -32, 32800, 32800, s, cw) for s in range(4)
+                  for cw in (True, False)]
+
+        fast = {}
+        for i, (x0, y0, x1, y1, s, cw) in enumerate(cases):
+            g = ("Polygon", [self._rect_ring(x0, y0, x1, y1, s, cw)])
+            fast[i] = (validity.make_valid(g),
+                       validity.has_self_intersections(g[1][0]))
+
+        monkeypatch.setattr(validity, "_is_axis_rect_ring",
+                            lambda r: False)
+        for i, (x0, y0, x1, y1, s, cw) in enumerate(cases):
+            g = ("Polygon", [self._rect_ring(x0, y0, x1, y1, s, cw)])
+            slow = (validity.make_valid(g),
+                    validity.has_self_intersections(g[1][0]))
+            assert fast[i] == slow, (i, cases[i], fast[i], slow)

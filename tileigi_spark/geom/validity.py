@@ -265,10 +265,32 @@ def intersection(x1, y1, x2, y2, x3, y3, x4, y4):
     raise AssertionError("unreachable intersection case")
 
 
+def _is_axis_rect_ring(r):
+    """Closed 5-point axis-aligned rectangle ring with 4 distinct corners
+    and strictly alternating axis-parallel edges. Such a ring provably has
+    no self-intersections (opposite edges are parallel on distinct lines;
+    adjacent edges meet only at their shared corner), so the O(n²)
+    segment-pair scan can be skipped with identical semantics — the
+    dominant per-piece cost for rectangle-heavy polygon layers (bbox
+    covers, nation boxes, building outlines)."""
+    if len(r) != 5 or r[0] != r[4]:
+        return False
+    xs = {p[0] for p in r}
+    ys = {p[1] for p in r}
+    if len(xs) != 2 or len(ys) != 2:
+        return False
+    for i in range(4):
+        if (r[i][0] != r[i + 1][0]) == (r[i][1] != r[i + 1][1]):
+            return False
+    return True
+
+
 def has_self_intersections(pts):
     """validity.rs:187-219."""
     n = len(pts)
     if n <= 4:
+        return False
+    if n == 5 and _is_axis_rect_ring(pts):
         return False
     for i in range(n - 1):
         p1, p2 = pts[i], pts[i + 1]
@@ -638,6 +660,22 @@ def make_valid(geom):
     geom = _remove_unneeded_points(geom)
     if geom is None:
         return None
+
+    # axis-rect fast path: a single-ring axis-aligned rectangle is either
+    # already valid (CW exterior → returned unchanged, same as the
+    # is_valid early return below) or has reversed winding, for which the
+    # full dissolve repair provably emits the same-start reversed ring
+    # wrapped as MultiPolygon (pinned against the slow path by the
+    # property test over random bounds/starts). Skips the ring-repair
+    # machinery for the dominant rectangle-piece case.
+    if (geom[0] == "Polygon" and len(geom[1]) == 1
+            and _is_axis_rect_ring(geom[1][0])):
+        ring = geom[1][0]
+        if not is_ccw(ring):
+            return geom
+        return ("MultiPolygon", [[[ring[0]] + list(reversed(ring[:-1]))[:-1]
+                                  + [ring[0]]]])
+
     if is_valid(geom):
         return geom
 
