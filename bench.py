@@ -325,7 +325,9 @@ def main():
               sql=("SELECT * FROM bench_lines "
                    "WHERE !zoom! >= 5 OR kind = 'way-0'")),
         Layer(id="landuse", source="boxes", minzoom=0, maxzoom=6,
-              buffer=2),
+              buffer=2,
+              zoom_filter=("pmod(abs(feature_id), "
+                           "shiftleft(1, 2 * (6 - zoom))) = 0")),
     ], global_maxzoom=14)
     mtiles = build_tiles(spark, {"pages": pts_feats, "boxes": boxes,
                                  "bench_lines": lines},

@@ -777,11 +777,22 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                         out["layer_order"].extend(lo[mids].tolist())
                         out["layer"].extend([layer] * len(mids))
                         out["part"].extend(parts)
+                        # bulk extend can add ~1 row/group at high zooms:
+                        # drain here so peak buffering stays near the
+                        # 2000-row bound rather than maxRecordsPerBatch
+                        if len(out["zoom"]) >= 2000:
+                            yield pd.DataFrame(out)
+                            for v in out.values():
+                                v.clear()
                         handle_segment(m1, n)
                         done_fast = True
             if not done_fast:
                 for s, e in zip(starts.tolist(), ends.tolist()):
                     handle_segment(s, e)
+                    if len(out["zoom"]) >= 2000:
+                        yield pd.DataFrame(out)
+                        for v in out.values():
+                            v.clear()
             if len(out["zoom"]) >= 2000:
                 yield pd.DataFrame(out)
                 for v in out.values():

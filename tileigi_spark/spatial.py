@@ -129,7 +129,11 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     back to the distributed cover-join that streams WKB (correct at any
     size, heavier on transfer). Returns matched rows with point columns
     first, then all polygon columns except `way`."""
-    if polygons.count() > max_broadcast_polys:
+    # single driver action: collect capped at the broadcast limit + 1 —
+    # the sentinel row both detects the over-limit case and avoids a
+    # separate count() job over the polygon table
+    rows = polygons.limit(max_broadcast_polys + 1).collect()
+    if len(rows) > max_broadcast_polys:
         return _pip_join_streamed(points, polygons, index_zoom,
                                   px_col, py_col)
 
@@ -137,7 +141,6 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
 
     spark = points.sparkSession
     poly_cols = [c for c in polygons.columns if c != "way"]
-    rows = polygons.collect()
 
     n = 1 << index_zoom
     span = WORLD / n
@@ -258,6 +261,23 @@ def knn_work_dir(spark, work_dir: str | None) -> str:
     return f"{wh}/_tileigi_knn_{uuid.uuid4().hex}"
 
 
+def _approx_row_count(df: DataFrame) -> int:
+    """Row count for knn_join's density-adaptive zoom pick: use the
+    Catalyst exact rowCount when the optimizer has one (CBO/cached
+    relations) — saving the extra job — else run the count. A
+    sizeInBytes-derived estimate was tried and rejected with numbers:
+    the bytes→rows divisor is input-shape-dependent (measured 3x low on
+    the projected bench table), enough to shift the auto zoom by a level
+    and change the ring-expansion round count run-to-run."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return df.count()
+
+
 def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
              index_zoom: int | None = None, query_id: str = "query_id",
              cand_id: str = "cand_id",
@@ -301,7 +321,7 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
 
     if index_zoom is None:
         import math
-        n_cands = candidates.count()
+        n_cands = _approx_row_count(candidates)
         # target ~10 candidates per cell: cells ~ n/10, zoom = log4(cells)
         index_zoom = max(2, min(14, round(math.log2(max(n_cands, 1) / 10.0)
                                           / 2.0)))
