@@ -277,10 +277,30 @@ def spread_small(df: DataFrame) -> DataFrame:
     """Repartition inputs that arrive with fewer partitions than cores
     (the single-file small-table case: every downstream per-row
     expression would otherwise run in ONE task). No-op for corpus-scale
-    inputs, which arrive well-partitioned."""
+    inputs, which arrive well-partitioned.
+
+    Width is sized from plan statistics (~4 MB per partition, capped at
+    defaultParallelism): unconditionally fanning a tiny table out to all
+    cores was measured as the r2->r3 ann_lsh regression — a 1 MB
+    2000-row corpus ran every downstream stage as 32 near-empty tasks,
+    adding ~1s of pure scheduling per job. The Arrow-batched kernels
+    downstream (matmul keys, cosine) need millions of rows per partition
+    before the extra width pays."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    cur = df.rdd.getNumPartitions()
+    if cur >= sc.defaultParallelism:
+        return df
+    target = sc.defaultParallelism
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                       .sizeInBytes()))
+        if 0 < size < (1 << 50):
+            target = min(sc.defaultParallelism,
+                         max(cur, (size + (4 << 20) - 1) // (4 << 20)))
+    except Exception:
+        pass
+    if target > cur:
+        return df.repartition(target)
     return df
 
 
