@@ -194,3 +194,85 @@ def test_width_overflow_falls_back():
     xs = np.array([1 << 21], dtype=np.int64)
     ys = np.array([0], dtype=np.int64)
     assert mvt.bulk_frame_point_features(xs, ys, []) is None
+
+
+# ------------------------------------------------- ring4 polygon framer
+
+def _rand_ring(rng):
+    x0, x1 = sorted(int(v) for v in rng.integers(-64, 4161, 2))
+    y0, y1 = sorted(int(v) for v in rng.integers(-64, 4161, 2))
+    pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    if rng.random() < 0.3:   # arbitrary quad, not just axis rects
+        pts = [(int(rng.integers(-64, 4161)), int(rng.integers(-64, 4161)))
+               for _ in range(4)]
+    if rng.random() < 0.5:
+        pts = pts[::-1]
+    r = int(rng.integers(0, 4))
+    return pts[r:] + pts[:r]
+
+
+def ring_groups_perrow(groups, prop, ptype):
+    parts = []
+    for rows in groups:
+        enc = mvt.LayerEncoder("l")
+        for pts, v in rows:
+            props = {} if prop is None else {prop: _mvt_value(v, ptype)}
+            enc.add_feature(("Polygon", [pts + [pts[0]]]), props)
+        parts.append(enc.to_bytes())
+    return parts
+
+
+def ring_groups_bulk(groups, prop, ptype):
+    from tileigi_spark.engine import _bulk_encode_point_groups
+    X = np.array([[p[0] for p in r[0]] for g in groups for r in g],
+                 dtype=np.int64)
+    Y = np.array([[p[1] for p in r[0]] for g in groups for r in g],
+                 dtype=np.int64)
+    if prop is None:
+        codes = uniq = None
+    else:
+        codes, uniq = pd.factorize(
+            pd.Series([r[1] for g in groups for r in g]),
+            use_na_sentinel=True)
+        uniq = np.asarray(uniq)
+    seg_starts = np.cumsum([0] + [len(g) for g in groups[:-1]]) \
+        .astype(np.int64)
+    return _bulk_encode_point_groups("l", prop, ptype, X, Y, codes,
+                                     uniq, seg_starts, kind="ring4")
+
+
+def test_ring4_group_batch_parity():
+    from pyspark.sql.types import StringType
+    rng = np.random.default_rng(11)
+    vals = ["kind-0", "kind-1", None, "kind-2"]
+    for _ in range(8):
+        groups = []
+        for _ in range(int(rng.integers(1, 40))):
+            k = int(rng.integers(1, 20))
+            groups.append([
+                (_rand_ring(rng), vals[int(rng.integers(0, len(vals)))])
+                for _ in range(k)])
+        assert ring_groups_bulk(groups, "kind", StringType()) == \
+            ring_groups_perrow(groups, "kind", StringType())
+    # no-prop variant
+    groups = [[(_rand_ring(rng), None) for _ in range(5)] for _ in range(6)]
+    assert ring_groups_bulk(groups, None, None) == \
+        ring_groups_perrow(groups, None, None)
+
+
+def test_ring5_wkb_detector():
+    from tileigi_spark.engine import _is_ring5_polygon_wkb
+    from tileigi_spark.geom.wkb import geom_to_wkb
+
+    ring = [(0, 0), (10, 0), (10, 7), (0, 7), (0, 0)]
+    assert _is_ring5_polygon_wkb(geom_to_wkb(("Polygon", [ring])))
+    # open ring (not closed) must be rejected
+    open_ring = [(0, 0), (10, 0), (10, 7), (0, 7), (1, 1)]
+    assert not _is_ring5_polygon_wkb(geom_to_wkb(("Polygon", [open_ring])))
+    # two rings / wrong point count / point WKB
+    hole = [(2, 2), (3, 2), (3, 3), (2, 3), (2, 2)]
+    assert not _is_ring5_polygon_wkb(geom_to_wkb(("Polygon", [ring, hole])))
+    assert not _is_ring5_polygon_wkb(
+        geom_to_wkb(("Polygon", [[(0, 0), (4, 0), (4, 4), (2, 6),
+                                  (0, 4), (0, 0)]])))
+    assert not _is_ring5_polygon_wkb(geom_to_wkb(("Point", (1, 2))))

@@ -342,6 +342,17 @@ def _is_simple_point_wkb(w) -> bool:
             and w[1] == 1 and w[2] == 0 and w[3] == 0 and w[4] == 0)
 
 
+_RING5_HEADER = bytes([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0])
+
+
+def _is_ring5_polygon_wkb(w) -> bool:
+    """Single-ring 5-point closed polygon WKB (93 bytes) — the shape of
+    every clipped box/rectangle piece. Closure check compares the first
+    and last point bytes directly."""
+    return (w is not None and len(w) == 93
+            and w[:13] == _RING5_HEADER and w[13:29] == w[77:93])
+
+
 def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                    global_maxzoom: int, metatile_scale: int = 8,
                    epsilon: int = 8) -> DataFrame:
@@ -482,11 +493,14 @@ def _bulk_point_tags(enc, cols):
 
 
 def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
-                              codes, uniques, seg_starts):
-    """Encode MANY complete point-only groups of one layer in one
-    vectorized pass (zero or one property column). Returns the list of
-    finished layer-message bytes, one per group (seg_starts order), or
-    None when a varint-width bound is exceeded (caller falls back).
+                              codes, uniques, seg_starts, kind="point"):
+    """Encode MANY complete single-shape groups of one layer in one
+    vectorized pass (zero or one property column). kind="point": xs/ys
+    are int64 coord vectors; kind="ring4": xs/ys are (n, 4) int64 ring
+    corner matrices (closed 5-point polygons, closing point dropped).
+    Returns the list of finished layer-message bytes, one per group
+    (seg_starts order), or None when a varint-width bound is exceeded
+    (caller falls back).
 
     Per-group LayerEncoder work is ~100µs of interpreter/numpy-call
     overhead; at z10 the bench has 650k groups of ~16 features, so the
@@ -563,23 +577,43 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
                 chunks.append(b)
             valtabs[g] = b"".join(chunks)
 
-    stream = mvt.bulk_frame_point_features(xs, ys, prop_tags)
+    if kind == "point":
+        stream = mvt.bulk_frame_point_features(xs, ys, prop_tags)
+    else:
+        stream = mvt.bulk_frame_ring4_polygon_features(xs, ys, prop_tags)
     if stream is None:
         return None
     # per-row frame lengths -> group byte offsets
     # recompute widths the same way the framer did (cheap, avoids a
     # second return value): frame = 1 + fnb + body
-    zzx = ((xs << 1) ^ (xs >> 63)).astype(np.uint64)
-    zzy = ((ys << 1) ^ (ys >> 63)).astype(np.uint64)
-    xnb = 1 + (zzx >= 0x80).astype(np.int64) + (zzx >= 0x4000).astype(np.int64)
-    ynb = 1 + (zzy >= 0x80).astype(np.int64) + (zzy >= 0x4000).astype(np.int64)
+    if kind == "point":
+        zzx = ((xs << 1) ^ (xs >> 63)).astype(np.uint64)
+        zzy = ((ys << 1) ^ (ys >> 63)).astype(np.uint64)
+        xnb = (1 + (zzx >= 0x80).astype(np.int64)
+               + (zzx >= 0x4000).astype(np.int64))
+        ynb = (1 + (zzy >= 0x80).astype(np.int64)
+               + (zzy >= 0x4000).astype(np.int64))
+        geom_len = 1 + xnb + ynb
+    else:
+        dX = np.empty((n, 4), dtype=np.int64)
+        dY = np.empty((n, 4), dtype=np.int64)
+        dX[:, 0] = xs[:, 0]
+        dX[:, 1:] = xs[:, 1:] - xs[:, :-1]
+        dY[:, 0] = ys[:, 0]
+        dY[:, 1:] = ys[:, 1:] - ys[:, :-1]
+        zz = np.empty((n, 8), dtype=np.int64)
+        zz[:, 0::2] = (dX << 1) ^ (dX >> 63)
+        zz[:, 1::2] = (dY << 1) ^ (dY >> 63)
+        zz = zz.astype(np.uint64)
+        dnb = (1 + (zz >= 0x80).astype(np.int64)
+               + (zz >= 0x4000).astype(np.int64))
+        geom_len = 3 + dnb.sum(axis=1)
     pair_len = np.zeros(n, dtype=np.int64)
     for _, vi_a, valid_a in prop_tags:
         vnb = (1 + (vi_a >= 0x80).astype(np.int64)
                + (vi_a >= 0x4000).astype(np.int64))
         pair_len += valid_a * (1 + vnb)
     has_tags = pair_len > 0
-    geom_len = 1 + xnb + ynb
     body_len = has_tags * (2 + pair_len) + 2 + 2 + geom_len
     fnb = 1 + (body_len >= 0x80).astype(np.int64)
     rowlen = 1 + fnb + body_len
@@ -682,9 +716,13 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
             pvals = {p: pdf[p].values for p in all_props if p in pdf}
             pt_ok = np.fromiter((_is_simple_point_wkb(g) for g in geoms),
                                 dtype=bool, count=n)
-            # per-batch value dictionaries for the vectorized point path
+            rp_ok = np.fromiter(
+                (_is_ring5_polygon_wkb(g) for g in geoms),
+                dtype=bool, count=n)
+            # per-batch value dictionaries for the vectorized paths
             fact = ({p: pd.factorize(pdf[p], use_na_sentinel=True)
-                     for p in pvals} if pt_ok.any() else {})
+                     for p in pvals}
+                    if (pt_ok.any() or rp_ok.any()) else {})
 
             chg = np.empty(n, dtype=bool)
             chg[0] = True
@@ -705,6 +743,15 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                       .ravel().astype(np.int64))
                 return px, py
 
+            def ring4_coords(s, e):
+                # 93-byte single-ring polygons: 5 closed points, closing
+                # point dropped -> (m, 4) corner matrices
+                buf = np.frombuffer(b"".join(geoms[s:e]),
+                                    dtype=np.uint8).reshape(-1, 93)
+                pts = (buf[:, 13:93].copy().view("<f8")
+                       .reshape(-1, 5, 2).astype(np.int64))
+                return pts[:, :4, 0], pts[:, :4, 1]
+
             def handle_segment(s, e):
                 nonlocal cur_key, enc
                 layer = ly_uniq[ly_codes[s]]
@@ -716,16 +763,25 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     enc = mvt.LayerEncoder(layer)
                 ptypes = prop_types.get(layer, {})
                 framed = None
-                if e - s >= 8 and bool(pt_ok[s:e].all()):
-                    # vectorized point run: decode coords as one matrix,
-                    # intern values in per-row visit order, frame via the
-                    # byte-matrix path (falls back on width overflow)
-                    px, py = point_coords(s, e)
-                    seg_cols = [(p, t, fact[p][0][s:e], fact[p][1])
-                                for p, t in ptypes.items() if p in fact]
-                    prop_tags = _bulk_point_tags(enc, seg_cols)
-                    framed = mvt.bulk_frame_point_features(px, py,
-                                                           prop_tags)
+                if e - s >= 8:
+                    # vectorized single-shape run: decode coords as one
+                    # matrix, intern values in per-row visit order, frame
+                    # via the byte-matrix path (falls back on width
+                    # overflow)
+                    if bool(pt_ok[s:e].all()):
+                        coords, framer = (point_coords(s, e),
+                                          mvt.bulk_frame_point_features)
+                    elif bool(rp_ok[s:e].all()):
+                        coords, framer = (
+                            ring4_coords(s, e),
+                            mvt.bulk_frame_ring4_polygon_features)
+                    else:
+                        coords = None
+                    if coords is not None:
+                        seg_cols = [(p, t, fact[p][0][s:e], fact[p][1])
+                                    for p, t in ptypes.items() if p in fact]
+                        prop_tags = _bulk_point_tags(enc, seg_cols)
+                        framed = framer(coords[0], coords[1], prop_tags)
                 if framed is not None:
                     enc.add_framed_features(framed)
                     return
@@ -744,7 +800,12 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
             done_fast = False
             if len(starts) >= 3:
                 m0, m1 = int(ends[0]), int(starts[-1])
-                mid_ok = (bool(pt_ok[m0:m1].all())
+                mid_kind = None
+                if bool(pt_ok[m0:m1].all()):
+                    mid_kind = "point"
+                elif bool(rp_ok[m0:m1].all()):
+                    mid_kind = "ring4"
+                mid_ok = (mid_kind is not None
                           and bool((ly_codes[m0:m1]
                                     == ly_codes[m0]).all()))
                 ptl = None
@@ -755,7 +816,8 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                            if p in fact]
                     mid_ok = len(ptl) <= 1
                 if mid_ok:
-                    px, py = point_coords(m0, m1)
+                    px, py = (point_coords(m0, m1) if mid_kind == "point"
+                              else ring4_coords(m0, m1))
                     if ptl:
                         p, t = ptl[0]
                         codes, uniq = fact[p][0][m0:m1], fact[p][1]
@@ -763,7 +825,8 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                         p = t = codes = uniq = None
                     seg_starts = (starts[1:-1] - m0).astype(np.int64)
                     parts = _bulk_encode_point_groups(
-                        layer, p, t, px, py, codes, uniq, seg_starts)
+                        layer, p, t, px, py, codes, uniq, seg_starts,
+                        kind=mid_kind)
                     if parts is not None:
                         handle_segment(int(starts[0]), m0)
                         flush()
