@@ -353,6 +353,100 @@ def _is_ring5_polygon_wkb(w) -> bool:
             and w[:13] == _RING5_HEADER and w[13:29] == w[77:93])
 
 
+def _rects_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
+                     metatile_scale: int, global_maxzoom: int):
+    """Vectorized pipeline for axis-aligned rectangle polygons (the
+    closed-form twin of the scalar remap→simplify→clip→slice→make_valid
+    chain — see geom/rectfast.py for the derivation). pdf rows are
+    candidates whose WKB passed the ring5 header check; rows that are
+    not axis-aligned rects are returned for the scalar loop.
+
+    Returns (frame_or_None, leftover_pdf)."""
+    import numpy as np
+
+    from .geom.rectfast import rect_pieces, rings_wkb
+
+    n_rows = len(pdf)
+    buf = np.frombuffer(b"".join(pdf["way"]), dtype=np.uint8) \
+        .reshape(n_rows, 93)
+    pts = buf[:, 13:93].copy().view("<f8").reshape(n_rows, 5, 2)
+    x = pts[:, :4, 0]
+    y = pts[:, :4, 1]
+    # exactly-one-coord edges with alternating axes => proper axis rect
+    # with 4 distinct corners (closure already verified byte-wise)
+    xn = np.roll(x, -1, axis=1)
+    yn = np.roll(y, -1, axis=1)
+    dx = x != xn
+    dy = y != yn
+    one = dx ^ dy
+    alt = (dx[:, :3] != dx[:, 1:]).all(axis=1)
+    is_rect = one.all(axis=1) & alt
+
+    rects = pdf[is_rect]
+    leftover = pdf[~is_rect]
+    if not len(rects):
+        return None, leftover
+    ridx = np.flatnonzero(is_rect)
+    x, y = x[ridx], y[ridx]
+
+    zooms = rects["zoom"].to_numpy(np.int64)
+    mtx = rects["mtx"].to_numpy(np.int64)
+    mty = rects["mty"].to_numpy(np.int64)
+    size_mt = np.minimum(metatile_scale, 1 << zooms)
+    x0t = mtx * size_mt
+    y0t = mty * size_mt
+    nz = (1 << zooms).astype(np.float64)
+    minx = x0t / nz * WORLD - MERC_MAX
+    maxx = (x0t + size_mt) / nz * WORLD - MERC_MAX
+    maxy = MERC_MAX - y0t / nz * WORLD
+    miny = MERC_MAX - (y0t + size_mt) / nz * WORLD
+    extent = 4096.0 * size_mt
+
+    # remap each ring point (round half away from zero), y flipped
+    vx = ((x - minx[:, None]) / (maxx - minx)[:, None]) * extent[:, None]
+    vy = ((maxy[:, None] - y) / (maxy - miny)[:, None]) * extent[:, None]
+    u = np.where(vx >= 0, np.floor(vx + 0.5), np.ceil(vx - 0.5)) \
+        .astype(np.int64)
+    v = np.where(vy >= 0, np.floor(vy + 0.5), np.ceil(vy - 0.5)) \
+        .astype(np.int64)
+
+    # rect bounds + ring state in tile space; degenerate axes collapse
+    # to duplicate points -> ring shorter than 4 -> dropped (remap
+    # semantics)
+    rx0, rx1 = u.min(axis=1), u.max(axis=1)
+    ry0, ry1 = v.min(axis=1), v.max(axis=1)
+    ok = (rx0 < rx1) & (ry0 < ry1)
+
+    # corner index of each remapped ring point in the canonical cycle
+    # C0=(x0,y0) C1=(x1,y0) C2=(x1,y1) C3=(x0,y1)
+    cidx = np.where(v == ry0[:, None],
+                    np.where(u == rx0[:, None], 0, 1),
+                    np.where(u == rx0[:, None], 3, 2))
+    start = cidx[:, 0]
+    fwd = ((cidx[:, 1] - cidx[:, 0]) % 4) == 1
+    state = (start << 1) | fwd.astype(np.int64)
+
+    k = np.flatnonzero(ok)
+    if not len(k):
+        return None, leftover
+    (pf, ptx, pty, px0, py0, px1, py1, out_state, as_multi) = rect_pieces(
+        rx0[k], ry0[k], rx1[k], ry1[k], state[k], zooms[k], size_mt[k],
+        x0t[k], y0t[k], buffer_units, global_maxzoom)
+    if not len(pf):
+        return None, leftover
+    src = k[pf]  # row index into rects
+
+    geoms = rings_wkb(px0, py0, px1, py1, out_state, as_multi)
+    d = {"zoom": zooms[src],
+         "x": x0t[src] + ptx, "y": y0t[src] + pty,
+         "feature_id": rects["feature_id"].to_numpy(np.int64)[src],
+         "geom": pd.Series(geoms, dtype=object)}
+    for p in prop_names:
+        d[p] = rects[p].to_numpy()[src]
+    cols = ["zoom", "x", "y", "feature_id", "geom"] + prop_names
+    return pd.DataFrame(d, columns=cols), leftover
+
+
 def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                    global_maxzoom: int, metatile_scale: int = 8,
                    epsilon: int = 8) -> DataFrame:
@@ -386,6 +480,17 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                 if f is not None:
                     frames.append(f)
             pdf = pdf[~is_pt.values]
+            if len(pdf):
+                is_r5 = pdf["way"].map(_is_ring5_polygon_wkb)
+                cands = pdf[is_r5.values]
+                if len(cands):
+                    f, leftover = _rects_fast_path(
+                        cands, prop_names, buffer_units, metatile_scale,
+                        global_maxzoom)
+                    if f is not None:
+                        frames.append(f)
+                    pdf = pd.concat([pdf[~is_r5.values], leftover]) \
+                        if len(leftover) else pdf[~is_r5.values]
             for row in pdf.itertuples(index=False):
                 zoom = int(row.zoom)
                 size_mt = min(metatile_scale, 1 << zoom)
