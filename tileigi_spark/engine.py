@@ -343,6 +343,7 @@ def _is_simple_point_wkb(w) -> bool:
 
 
 _RING5_HEADER = bytes([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0])
+_RING5_MULTI_HEADER = bytes([1, 6, 0, 0, 0, 1, 0, 0, 0]) + _RING5_HEADER
 
 
 def _is_ring5_polygon_wkb(w) -> bool:
@@ -351,6 +352,20 @@ def _is_ring5_polygon_wkb(w) -> bool:
     and last point bytes directly."""
     return (w is not None and len(w) == 93
             and w[:13] == _RING5_HEADER and w[13:29] == w[77:93])
+
+
+def _is_ring5_geom_wkb(w) -> bool:
+    """_is_ring5_polygon_wkb, or its MultiPolygon-of-one twin (102
+    bytes — what make_valid emits for repaired-winding rects). Both
+    produce the identical MVT command stream (MVT has one POLYGON type;
+    a single-member MultiPolygon frames exactly like the Polygon), so
+    the bulk encoder accepts either."""
+    if w is None:
+        return False
+    if len(w) == 93:
+        return w[:13] == _RING5_HEADER and w[13:29] == w[77:93]
+    return (len(w) == 102 and w[:22] == _RING5_MULTI_HEADER
+            and w[22:38] == w[86:102])
 
 
 def _rects_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
@@ -822,7 +837,7 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
             pt_ok = np.fromiter((_is_simple_point_wkb(g) for g in geoms),
                                 dtype=bool, count=n)
             rp_ok = np.fromiter(
-                (_is_ring5_polygon_wkb(g) for g in geoms),
+                (_is_ring5_geom_wkb(g) for g in geoms),
                 dtype=bool, count=n)
             # per-batch value dictionaries for the vectorized paths
             fact = ({p: pd.factorize(pdf[p], use_na_sentinel=True)
@@ -849,13 +864,26 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                 return px, py
 
             def ring4_coords(s, e):
-                # 93-byte single-ring polygons: 5 closed points, closing
-                # point dropped -> (m, 4) corner matrices
-                buf = np.frombuffer(b"".join(geoms[s:e]),
-                                    dtype=np.uint8).reshape(-1, 93)
-                pts = (buf[:, 13:93].copy().view("<f8")
-                       .reshape(-1, 5, 2).astype(np.int64))
-                return pts[:, :4, 0], pts[:, :4, 1]
+                # single-ring 5-point polygons (93 B) or their
+                # MultiPolygon-of-one twins (102 B, ring at offset 22):
+                # closing point dropped -> (m, 4) corner matrices
+                g = geoms[s:e]
+                m = e - s
+                lens = np.fromiter((len(v) for v in g), np.int64, m)
+                X = np.empty((m, 4), dtype=np.int64)
+                Y = np.empty((m, 4), dtype=np.int64)
+                for ln, off in ((93, 13), (102, 22)):
+                    sel = np.flatnonzero(lens == ln)
+                    if not len(sel):
+                        continue
+                    buf = np.frombuffer(
+                        b"".join(g[i] for i in sel),
+                        dtype=np.uint8).reshape(-1, ln)
+                    pts = (buf[:, off:off + 80].copy().view("<f8")
+                           .reshape(-1, 5, 2).astype(np.int64))
+                    X[sel] = pts[:, :4, 0]
+                    Y[sel] = pts[:, :4, 1]
+                return X, Y
 
             def handle_segment(s, e):
                 nonlocal cur_key, enc
