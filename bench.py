@@ -287,7 +287,11 @@ def main():
     # lib.rs:559-728 — the point flagship alone never exercises the
     # S-H clip / quadtree slice / make_valid chain at scale)
     t0 = time.time()
-    n_polys = REPLICAS * 250
+    # capped so the scaling harness's high-replica low-core legs stay
+    # within their per-run budget; 32-core bench (replicas=400) is
+    # unaffected at 100k
+    n_polys = int(os.environ.get("SPARK_GRAFT_BENCH_POLYS",
+                                 min(REPLICAS * 250, 300_000)))
     boxes = synth_boxes(spark, n_polys)
     boxes.write.mode("overwrite").parquet(f"{workdir}/boxes")
     boxes = spark.read.parquet(f"{workdir}/boxes")
@@ -313,7 +317,9 @@ def main():
     # zoom ranges, one layer via the SQL-template path (!zoom! token) —
     # exercises the per-tile layer zip/merge (A2, lib.rs:472-487) at scale
     t0 = time.time()
-    synth_lines(spark, REPLICAS * 100).write.mode("overwrite") \
+    n_lines = int(os.environ.get("SPARK_GRAFT_BENCH_LINES",
+                                 min(REPLICAS * 100, 120_000)))
+    synth_lines(spark, n_lines).write.mode("overwrite") \
         .parquet(f"{workdir}/lines")
     lines = spark.read.parquet(f"{workdir}/lines")
     pts_feats = feats.filter(F.pmod(F.abs(F.col("feature_id")),

@@ -54,13 +54,18 @@ def main():
         # phases with whatever host weather hit that particular rep
         return {k: max(r["throughput"][k] for r in runs)
                 for k in ("tiles_per_sec", "pages_per_sec",
-                          "joined_rows_per_sec")}
+                          "joined_rows_per_sec", "poly_tiles_per_sec",
+                          "multilayer_tiles_per_sec")}
 
     t_n, t_4n = tp(runs_n), tp(runs_4n)
     eff_tiles = (t_4n["tiles_per_sec"] / t_n["tiles_per_sec"]) / 4.0
     eff_pages = (t_4n["pages_per_sec"] / t_n["pages_per_sec"]) / 4.0
     eff_joins = (t_4n["joined_rows_per_sec"] /
                  t_n["joined_rows_per_sec"]) / 4.0
+    eff_poly = (t_4n["poly_tiles_per_sec"] /
+                t_n["poly_tiles_per_sec"]) / 4.0
+    eff_ml = (t_4n["multilayer_tiles_per_sec"] /
+              t_n["multilayer_tiles_per_sec"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # preserve manually-authored sections (join re-bench etc.) across
@@ -94,8 +99,13 @@ host-contention noise documented below; all raw lines included).
 | tiles/sec | {t_n['tiles_per_sec']} | {t_4n['tiles_per_sec']} | {eff_tiles:.3f} |
 | geotagged pages/sec | {t_n['pages_per_sec']} | {t_4n['pages_per_sec']} | {eff_pages:.3f} |
 | joined rows/sec | {t_n['joined_rows_per_sec']} | {t_4n['joined_rows_per_sec']} | {eff_joins:.3f} |
+| polygon-pyramid tiles/sec | {t_n['poly_tiles_per_sec']} | {t_4n['poly_tiles_per_sec']} | {eff_poly:.3f} |
+| multilayer tiles/sec | {t_n['multilayer_tiles_per_sec']} | {t_4n['multilayer_tiles_per_sec']} | {eff_ml:.3f} |
 
-North-rule target: >= 0.8 on the primary (tiles/sec) metric.
+North-rule target: >= 0.8 on the primary (tiles/sec) metric. The
+polygon-dense and 3-layer legs (round 4) exercise the S-H clip /
+quadtree slice / make_valid chain and the per-tile layer merge at the
+same two parallelism levels.
 
 ## Why N={n}: the sandbox's parallel ceiling
 
