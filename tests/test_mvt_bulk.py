@@ -276,3 +276,86 @@ def test_ring5_wkb_detector():
         geom_to_wkb(("Polygon", [[(0, 0), (4, 0), (4, 4), (2, 6),
                                   (0, 4), (0, 0)]])))
     assert not _is_ring5_polygon_wkb(geom_to_wkb(("Point", (1, 2))))
+
+
+# --------------------------------------------------- line framer
+
+def _rand_line(rng):
+    k = int(rng.choice([2, 2, 2, 3, 3, 4]))
+    return [(int(rng.integers(-64, 4161)), int(rng.integers(-64, 4161)))
+            for _ in range(k)]
+
+
+def line_groups_perrow(groups, prop, ptype):
+    parts = []
+    for rows in groups:
+        enc = mvt.LayerEncoder("l")
+        for pts, v in rows:
+            props = {} if prop is None else {prop: _mvt_value(v, ptype)}
+            enc.add_feature(("LineString", pts), props)
+        parts.append(enc.to_bytes())
+    return parts
+
+
+def line_groups_bulk(groups, prop, ptype):
+    from tileigi_spark.engine import _bulk_encode_point_groups
+    flat = [r for g in groups for r in g]
+    n = len(flat)
+    X = np.zeros((n, 4), dtype=np.int64)
+    Y = np.zeros((n, 4), dtype=np.int64)
+    K = np.zeros(n, dtype=np.int64)
+    for i, (pts, _) in enumerate(flat):
+        K[i] = len(pts)
+        for j, (x, y) in enumerate(pts):
+            X[i, j] = x
+            Y[i, j] = y
+    if prop is None:
+        codes = uniq = None
+    else:
+        codes, uniq = pd.factorize(pd.Series([r[1] for r in flat]),
+                                   use_na_sentinel=True)
+        uniq = np.asarray(uniq)
+    seg_starts = np.cumsum([0] + [len(g) for g in groups[:-1]]) \
+        .astype(np.int64)
+    return _bulk_encode_point_groups("l", prop, ptype, X, Y, codes,
+                                     uniq, seg_starts, kind="line",
+                                     counts=K)
+
+
+def test_line_group_batch_parity():
+    from pyspark.sql.types import StringType
+    rng = np.random.default_rng(13)
+    vals = ["way-0", "way-1", None, "way-2"]
+    for _ in range(8):
+        groups = []
+        for _ in range(int(rng.integers(1, 40))):
+            k = int(rng.integers(1, 20))
+            groups.append([
+                (_rand_line(rng), vals[int(rng.integers(0, len(vals)))])
+                for _ in range(k)])
+        assert line_groups_bulk(groups, "kind", StringType()) == \
+            line_groups_perrow(groups, "kind", StringType())
+    groups = [[(_rand_line(rng), None) for _ in range(5)]
+              for _ in range(6)]
+    assert line_groups_bulk(groups, None, None) == \
+        line_groups_perrow(groups, None, None)
+
+
+def test_short_line_wkb_detector():
+    from tileigi_spark.engine import _is_short_line_wkb
+    from tileigi_spark.geom.wkb import geom_to_wkb
+
+    assert _is_short_line_wkb(geom_to_wkb(("LineString", [(0, 0), (5, 7)])))
+    assert _is_short_line_wkb(
+        geom_to_wkb(("LineString", [(0, 0), (5, 7), (9, 2)])))
+    assert _is_short_line_wkb(
+        geom_to_wkb(("LineString", [(0, 0), (5, 7), (9, 2), (1, 1)])))
+    # 5 points / multilinestring / polygon are rejected
+    assert not _is_short_line_wkb(
+        geom_to_wkb(("LineString",
+                     [(0, 0), (5, 7), (9, 2), (1, 1), (2, 2)])))
+    assert not _is_short_line_wkb(
+        geom_to_wkb(("MultiLineString", [[(0, 0), (5, 7)]])))
+    assert not _is_short_line_wkb(
+        geom_to_wkb(("Polygon", [[(0, 0), (4, 0), (4, 4), (0, 4),
+                                  (0, 0)]])))

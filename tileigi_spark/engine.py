@@ -354,6 +354,20 @@ def _is_ring5_polygon_wkb(w) -> bool:
             and w[:13] == _RING5_HEADER and w[13:29] == w[77:93])
 
 
+_LINE_HEADERS = {41: bytes([1, 2, 0, 0, 0, 2, 0, 0, 0]),
+                 57: bytes([1, 2, 0, 0, 0, 3, 0, 0, 0]),
+                 73: bytes([1, 2, 0, 0, 0, 4, 0, 0, 0])}
+
+
+def _is_short_line_wkb(w) -> bool:
+    """Single LineString WKB with 2-4 points (41/57/73 bytes) — the
+    shape of ~94% of clipped polyline pieces."""
+    if w is None:
+        return False
+    h = _LINE_HEADERS.get(len(w))
+    return h is not None and w[:9] == h
+
+
 def _is_ring5_geom_wkb(w) -> bool:
     """_is_ring5_polygon_wkb, or its MultiPolygon-of-one twin (102
     bytes — what make_valid emits for repaired-winding rects). Both
@@ -613,14 +627,16 @@ def _bulk_point_tags(enc, cols):
 
 
 def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
-                              codes, uniques, seg_starts, kind="point"):
+                              codes, uniques, seg_starts, kind="point",
+                              counts=None):
     """Encode MANY complete single-shape groups of one layer in one
     vectorized pass (zero or one property column). kind="point": xs/ys
     are int64 coord vectors; kind="ring4": xs/ys are (n, 4) int64 ring
-    corner matrices (closed 5-point polygons, closing point dropped).
-    Returns the list of finished layer-message bytes, one per group
-    (seg_starts order), or None when a varint-width bound is exceeded
-    (caller falls back).
+    corner matrices (closed 5-point polygons, closing point dropped);
+    kind="line": xs/ys are (n, 4) padded point matrices with counts
+    (n,) in [2, 4]. Returns the list of finished layer-message bytes,
+    one per group (seg_starts order), or None when a varint-width bound
+    is exceeded (caller falls back).
 
     Per-group LayerEncoder work is ~100µs of interpreter/numpy-call
     overhead; at z10 the bench has 650k groups of ~16 features, so the
@@ -699,6 +715,8 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
 
     if kind == "point":
         stream = mvt.bulk_frame_point_features(xs, ys, prop_tags)
+    elif kind == "line":
+        stream = mvt.bulk_frame_line_features(xs, ys, counts, prop_tags)
     else:
         stream = mvt.bulk_frame_ring4_polygon_features(xs, ys, prop_tags)
     if stream is None:
@@ -724,10 +742,18 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
         zz = np.empty((n, 8), dtype=np.int64)
         zz[:, 0::2] = (dX << 1) ^ (dX >> 63)
         zz[:, 1::2] = (dY << 1) ^ (dY >> 63)
+        if kind == "line":
+            uzz = np.repeat(
+                np.arange(4)[None, :] < counts[:, None], 2, axis=1)
+            zz = np.where(uzz, zz, 0)
         zz = zz.astype(np.uint64)
         dnb = (1 + (zz >= 0x80).astype(np.int64)
                + (zz >= 0x4000).astype(np.int64))
-        geom_len = 3 + dnb.sum(axis=1)
+        if kind == "line":
+            dnb = np.where(uzz, dnb, 0)
+            geom_len = 2 + dnb.sum(axis=1)
+        else:
+            geom_len = 3 + dnb.sum(axis=1)
     pair_len = np.zeros(n, dtype=np.int64)
     for _, vi_a, valid_a in prop_tags:
         vnb = (1 + (vi_a >= 0x80).astype(np.int64)
@@ -839,10 +865,14 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
             rp_ok = np.fromiter(
                 (_is_ring5_geom_wkb(g) for g in geoms),
                 dtype=bool, count=n)
+            ln_ok = np.fromiter(
+                (_is_short_line_wkb(g) for g in geoms),
+                dtype=bool, count=n)
             # per-batch value dictionaries for the vectorized paths
             fact = ({p: pd.factorize(pdf[p], use_na_sentinel=True)
                      for p in pvals}
-                    if (pt_ok.any() or rp_ok.any()) else {})
+                    if (pt_ok.any() or rp_ok.any() or ln_ok.any())
+                    else {})
 
             chg = np.empty(n, dtype=bool)
             chg[0] = True
@@ -885,6 +915,28 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     Y[sel] = pts[:, :4, 1]
                 return X, Y
 
+            def line_coords(s, e):
+                # 2-4 point LineStrings (41/57/73 B): padded (m, 4)
+                # point matrices + per-row counts
+                g = geoms[s:e]
+                m = e - s
+                lens = np.fromiter((len(v) for v in g), np.int64, m)
+                X = np.zeros((m, 4), dtype=np.int64)
+                Y = np.zeros((m, 4), dtype=np.int64)
+                K = (lens - 9) // 16
+                for k in (2, 3, 4):
+                    sel = np.flatnonzero(K == k)
+                    if not len(sel):
+                        continue
+                    buf = np.frombuffer(
+                        b"".join(g[i] for i in sel),
+                        dtype=np.uint8).reshape(-1, 9 + 16 * k)
+                    pts = (buf[:, 9:].copy().view("<f8")
+                           .reshape(-1, k, 2).astype(np.int64))
+                    X[sel, :k] = pts[:, :, 0]
+                    Y[sel, :k] = pts[:, :, 1]
+                return X, Y, K
+
             def handle_segment(s, e):
                 nonlocal cur_key, enc
                 layer = ly_uniq[ly_codes[s]]
@@ -908,13 +960,16 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                         coords, framer = (
                             ring4_coords(s, e),
                             mvt.bulk_frame_ring4_polygon_features)
+                    elif bool(ln_ok[s:e].all()):
+                        coords, framer = (line_coords(s, e),
+                                          mvt.bulk_frame_line_features)
                     else:
                         coords = None
                     if coords is not None:
                         seg_cols = [(p, t, fact[p][0][s:e], fact[p][1])
                                     for p, t in ptypes.items() if p in fact]
                         prop_tags = _bulk_point_tags(enc, seg_cols)
-                        framed = framer(coords[0], coords[1], prop_tags)
+                        framed = framer(*coords, prop_tags)
                 if framed is not None:
                     enc.add_framed_features(framed)
                     return
@@ -938,6 +993,8 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     mid_kind = "point"
                 elif bool(rp_ok[m0:m1].all()):
                     mid_kind = "ring4"
+                elif bool(ln_ok[m0:m1].all()):
+                    mid_kind = "line"
                 mid_ok = (mid_kind is not None
                           and bool((ly_codes[m0:m1]
                                     == ly_codes[m0]).all()))
@@ -949,8 +1006,13 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                            if p in fact]
                     mid_ok = len(ptl) <= 1
                 if mid_ok:
-                    px, py = (point_coords(m0, m1) if mid_kind == "point"
-                              else ring4_coords(m0, m1))
+                    kcounts = None
+                    if mid_kind == "point":
+                        px, py = point_coords(m0, m1)
+                    elif mid_kind == "ring4":
+                        px, py = ring4_coords(m0, m1)
+                    else:
+                        px, py, kcounts = line_coords(m0, m1)
                     if ptl:
                         p, t = ptl[0]
                         codes, uniq = fact[p][0][m0:m1], fact[p][1]
@@ -959,7 +1021,7 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     seg_starts = (starts[1:-1] - m0).astype(np.int64)
                     parts = _bulk_encode_point_groups(
                         layer, p, t, px, py, codes, uniq, seg_starts,
-                        kind=mid_kind)
+                        kind=mid_kind, counts=kcounts)
                     if parts is not None:
                         handle_segment(int(starts[0]), m0)
                         flush()
