@@ -425,17 +425,18 @@ ORDER BY a, b
 
 
 def _q_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs. Uses the md5-derived 64-bit hash
-    (dedup.md5_hash64) instead of the xxhash64 production default so
-    DuckDB can oracle the full banding+verify logic; the pipeline shape
-    is hash-agnostic."""
-    from tileigi_spark.dedup import md5_hash64, minhash_dedup_pairs
+    """MinHash+LSH near-dup pairs. Uses the md5+affine hash family
+    (dedup.Md5AffineFamily: ONE md5 per shingle + per-seed affine
+    transforms) instead of the xxhash64 production default so DuckDB
+    can oracle the full banding+verify logic; the pipeline shape is
+    hash-agnostic."""
+    from tileigi_spark.dedup import Md5AffineFamily, minhash_dedup_pairs
 
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter(F.col("doc_id") < 1000)
             .withColumn("dtext", _derived_text()))
     return minhash_dedup_pairs(docs, text_col="dtext", threshold=0.5,
-                               hash_fn=md5_hash64) \
+                               hash_fn=Md5AffineFamily()) \
         .orderBy("a", "b")
 
 
@@ -446,9 +447,18 @@ def _md5h(x):
     return f"CAST(('0x'||substr(md5({x}),1,15)) AS BIGINT)"
 
 
-_MINHASH_SIG_COLS = ",\n    ".join(
-    f"MIN({_md5h(repr(str(s)) + ' || ' + repr('|') + ' || g')}) AS m{s}"
-    for s in range(16))
+def _minhash_sig_cols():
+    # mirror dedup.Md5AffineFamily: b = md5_hash64(g) & (2^30-1),
+    # m_s = MIN((a_s*b + c_s) % (2^31-1))
+    from tileigi_spark.dedup import _AFFINE_P, affine_coeffs
+    cols = []
+    for s in range(16):
+        a, c = affine_coeffs(s)
+        cols.append(f"MIN(({a} * b + {c}) % {_AFFINE_P}) AS m{s}")
+    return ",\n    ".join(cols)
+
+
+_MINHASH_SIG_COLS = _minhash_sig_cols()
 
 _MINHASH_BANDS = "\n      ".join(
     "WHEN {b} THEN {h}".format(
@@ -470,10 +480,13 @@ grams AS (
        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
   FROM toks WHERE len(w) >= 3
 ),
+gb AS (
+  SELECT doc_id, g, ({_md5h('g')} & 1073741823) AS b FROM grams
+),
 sigs AS (
   SELECT doc_id,
     {_MINHASH_SIG_COLS}
-  FROM grams GROUP BY doc_id
+  FROM gb GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id, band_idx,

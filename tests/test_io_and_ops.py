@@ -492,15 +492,17 @@ def test_dedup_hash_fn_parameterization(spark):
     """MinHash/SimHash pipelines accept an alternate hash and produce the
     same near-dup structure for exact-duplicate texts regardless of the
     hash function (exact dup pairs survive any hash)."""
-    from tileigi_spark.dedup import (MD5_HASH64_SQL, md5_hash64,
-                                     minhash_dedup_pairs, simhash_near_dups)
+    from tileigi_spark.dedup import (MD5_HASH64_SQL, Md5AffineFamily,
+                                     md5_hash64, minhash_dedup_pairs,
+                                     simhash_near_dups)
 
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
          range(4)] + [(10, "totally different words entirely here now "
                            "unrelated content")],
         "doc_id long, text string")
-    for kw in ({}, {"hash_fn": md5_hash64}):
+    for kw in ({}, {"hash_fn": md5_hash64},
+               {"hash_fn": Md5AffineFamily()}):
         pairs = {(r["a"], r["b"]) for r in
                  minhash_dedup_pairs(docs, threshold=0.9, **kw).collect()}
         assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}

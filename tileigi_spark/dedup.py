@@ -54,9 +54,73 @@ MD5_HASH64_SQL = ("cast(conv(substring(md5({x}), 1, 15), 16, 10) "
                   "as bigint)")
 
 
-def _shingle_hash(col, seed: int, hash_fn=None):
-    # deterministic per-seed hash: hash_fn of (seed, shingle)
-    return (hash_fn or F.xxhash64)(F.lit(seed), col)
+_AFFINE_P = 2147483647  # 2^31 - 1 (prime), universal-hash modulus
+
+
+def affine_coeffs(seed: int):
+    """Deterministic per-seed (a, c) for the affine family
+    h_s(b) = (a_s*b + c_s) mod P over 30-bit b. Also inlined into the
+    DuckDB oracle SQL — keep in sync with __spark_entry__."""
+    a = (2654435761 * (seed + 1)) % _AFFINE_P or 1
+    c = (40503 * (seed + 1) + 12345) % _AFFINE_P
+    return a, c
+
+
+class Md5AffineFamily:
+    """DuckDB-expressible MinHash hash family: ONE md5 per shingle
+    projected to 30 bits, then per-seed affine universal-hash
+    transforms mod 2^31-1 (products < 2^61, no overflow on either
+    engine). 16x cheaper than per-seed md5 and exactly replicable in
+    SQL. Oracle-only: the 30-bit projection is fine below ~10^7
+    distinct shingles but loses entropy at web-corpus scale, where the
+    xxhash64 default's full-width per-seed hashing is the right
+    quality/cost point (one codegen'd JVM call per seed)."""
+
+    def project(self, col):
+        return md5_hash64(col).bitwiseAND(F.lit((1 << 30) - 1))
+
+    def seeded(self, proj_col, seed: int):
+        a, c = affine_coeffs(seed)
+        return F.pmod(F.lit(a) * proj_col + F.lit(c), F.lit(_AFFINE_P))
+
+    def combine(self, *cols):
+        return md5_hash64(*cols)
+
+
+class XxHashFamily:
+    """Production default: per-seed xxhash64 of (seed, shingle) — full
+    64-bit entropy per permutation, whole-stage codegen."""
+
+    def project(self, col):
+        return col
+
+    def seeded(self, proj_col, seed: int):
+        return F.xxhash64(F.lit(seed), proj_col)
+
+    def combine(self, *cols):
+        return F.xxhash64(*cols)
+
+
+def _as_family(hash_fn):
+    """hash_fn: None -> xxhash64 family; a family object (has .seeded)
+    -> itself; a legacy (*cols) callable (e.g. md5_hash64) -> wrapped as
+    per-(seed, shingle) family."""
+    if hash_fn is None:
+        return XxHashFamily()
+    if hasattr(hash_fn, "seeded"):
+        return hash_fn
+
+    class _Legacy:
+        def project(self, col):
+            return col
+
+        def seeded(self, proj_col, seed):
+            return hash_fn(F.lit(seed), proj_col)
+
+        def combine(self, *cols):
+            return hash_fn(*cols)
+
+    return _Legacy()
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -76,10 +140,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     signature row (they cannot near-dup by shingles; exact_dedup owns
     them) — the old null-signature rows only ever produced candidate
     pairs that the Jaccard verify rejected."""
+    fam = _as_family(hash_fn)
+    # project once per gram BEFORE the aggregate (guarantees one base
+    # hash per shingle regardless of codegen CSE), then n_hashes cheap
+    # seeded min-aggregates
     grams = df.select(
         id_col,
-        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_g"))
-    aggs = [F.min(_shingle_hash(F.col("_g"), s, hash_fn)).alias(f"_m{s}")
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_g")) \
+        .select(id_col, fam.project(F.col("_g")).alias("_b"))
+    aggs = [F.min(fam.seeded(F.col("_b"), s)).alias(f"_m{s}")
             for s in range(n_hashes)]
     return (grams.groupBy(id_col).agg(*aggs)
             .select(id_col, F.array(*[F.col(f"_m{s}")
@@ -118,14 +187,14 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     sizes bound the pair blow-up, and drop_hot_buckets caps the degenerate
     exact-duplicate-cluster buckets that would otherwise go quadratic."""
     rows_per_band = n_hashes // bands
-    hf = hash_fn or F.xxhash64
+    fam = _as_family(hash_fn)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n,
                               hash_fn)
     banded = (sigs.select(
         id_col,
         F.posexplode(F.array(*[
-            hf(*[F.element_at("minhash", b * rows_per_band + r + 1)
-                 for r in range(rows_per_band)])
+            fam.combine(*[F.element_at("minhash", b * rows_per_band + r + 1)
+                          for r in range(rows_per_band)])
             for b in range(bands)])).alias("band_idx", "band_hash")))
     banded = drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket)
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
