@@ -461,6 +461,30 @@ def test_bucket_cap_drops_hot_buckets(spark):
     assert {100, 101, 102} <= kept_ids or len(kept_ids) >= 1
 
 
+def test_spread_small_sizing(spark, tmp_path):
+    """spread_small must NOT fan a tiny single-file table out to all
+    cores (the measured ann_lsh regression), but must widen large
+    narrow inputs toward defaultParallelism."""
+    from tileigi_spark.dedup import spread_small
+
+    tiny = spark.range(100).coalesce(1)
+    tiny.write.mode("overwrite").parquet(str(tmp_path / "tiny"))
+    tiny = spark.read.parquet(str(tmp_path / "tiny"))
+    assert spread_small(tiny).rdd.getNumPartitions() <= 2
+
+    # ~24 MB of data in one partition -> should widen to >1 partition
+    big = spark.range(3_000_000).selectExpr(
+        "id", "repeat('x', 8) AS pad").coalesce(1)
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    big = spark.read.parquet(str(tmp_path / "big")).coalesce(1)
+    assert spread_small(big).rdd.getNumPartitions() > 1
+
+    # already-wide inputs pass through untouched
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert spread_small(wide) is wide
+
+
 def test_md5_hash64_matches_duckdb(spark):
     """dedup.md5_hash64 (the DuckDB-expressible hash that lets the driver
     oracle MinHash/SimHash logic) must equal DuckDB's
