@@ -520,11 +520,20 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                         frames.append(f)
                     pdf = pd.concat([pdf[~is_r5.values], leftover]) \
                         if len(leftover) else pdf[~is_r5.values]
-            for row in pdf.itertuples(index=False):
-                zoom = int(row.zoom)
+            # direct array indexing: itertuples namedtuple construction
+            # + per-piece getattr was measurable wrapper overhead on
+            # line-heavy batches (the kernels themselves are ~17µs/row)
+            a_zoom = pdf["zoom"].to_numpy(np.int64)
+            a_mtx = pdf["mtx"].to_numpy(np.int64)
+            a_mty = pdf["mty"].to_numpy(np.int64)
+            a_fid = pdf["feature_id"].to_numpy(np.int64)
+            a_way = pdf["way"].values
+            a_props = [(p, pdf[p].values) for p in prop_names]
+            for i in range(len(pdf)):
+                zoom = int(a_zoom[i])
                 size_mt = min(metatile_scale, 1 << zoom)
-                mtx = int(row.mtx)
-                mty = int(row.mty)
+                mtx = int(a_mtx[i])
+                mty = int(a_mty[i])
                 x0t = mtx * size_mt
                 y0t = mty * size_mt
                 n = 1 << zoom
@@ -534,7 +543,7 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                 miny = MERC_MAX - (y0t + size_mt) / n * WORLD
                 extent = 4096.0 * size_mt
                 try:
-                    geom = wkb_to_geom(bytes(row.way))
+                    geom = wkb_to_geom(bytes(a_way[i]))
                 except ValueError:
                     continue
                 geom = remap_geometry(geom, minx, maxx, miny, maxy, extent)
@@ -566,10 +575,10 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                     rows["zoom"].append(zoom)
                     rows["x"].append(tx)
                     rows["y"].append(ty)
-                    rows["feature_id"].append(int(row.feature_id))
+                    rows["feature_id"].append(int(a_fid[i]))
                     rows["geom"].append(geom_to_wkb(piece))
-                    for p in prop_names:
-                        rows[p].append(getattr(row, p))
+                    for p, vals in a_props:
+                        rows[p].append(vals[i])
             if rows["zoom"]:
                 frames.append(pd.DataFrame(rows, columns=cols))
             if frames:
