@@ -23,8 +23,13 @@ def run(cpus: int, sf_dir: str, replicas: int) -> dict:
     out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                          env=env, capture_output=True, text=True,
                          timeout=3400)
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    lines = out.stdout.strip().splitlines()
+    if not lines:
+        sys.stderr.write(f"bench.py (cpus={cpus}) produced no stdout; "
+                         f"rc={out.returncode}; stderr tail:\n"
+                         + "\n".join(out.stderr.splitlines()[-20:]) + "\n")
+        raise RuntimeError(f"bench run failed at cpus={cpus}")
+    return json.loads(lines[-1])
 
 
 def main():
