@@ -20,16 +20,26 @@ def run(cpus: int, sf_dir: str, replicas: int) -> dict:
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_BENCH_REPLICAS=str(replicas))
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True,
-                         timeout=3400)
-    lines = out.stdout.strip().splitlines()
-    if not lines:
-        sys.stderr.write(f"bench.py (cpus={cpus}) produced no stdout; "
-                         f"rc={out.returncode}; stderr tail:\n"
-                         + "\n".join(out.stderr.splitlines()[-20:]) + "\n")
-        raise RuntimeError(f"bench run failed at cpus={cpus}")
-    return json.loads(lines[-1])
+    # one retry per leg: this sandbox occasionally drops a Python worker
+    # mid-run (Arrow socket reset, no OOM evidence) — a measurement
+    # harness should survive a transient, not lose the whole session
+    last_err = ""
+    for attempt in (1, 2):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=3400)
+        lines = out.stdout.strip().splitlines()
+        if lines:
+            return json.loads(lines[-1])
+        last_err = out.stderr
+        errpath = os.path.join("/tmp", f"bench_leg_cpus{cpus}_fail.log")
+        with open(errpath, "w") as f:
+            f.write(last_err)
+        sys.stderr.write(f"bench.py (cpus={cpus}) attempt {attempt} "
+                         f"produced no stdout; rc={out.returncode}; "
+                         f"full stderr at {errpath}; tail:\n"
+                         + "\n".join(last_err.splitlines()[-15:]) + "\n")
+    raise RuntimeError(f"bench run failed twice at cpus={cpus}")
 
 
 def main():
