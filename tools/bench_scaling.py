@@ -128,24 +128,34 @@ The north rule's two-cluster-size criterion is evidenced here with two
 local parallelism levels (per the sandbox instruction). This VM's own
 scaling ceiling — measured with INDEPENDENT single-threaded Python
 processes (tools/machine_ceiling.py), the regime of real multi-executor
-clusters where each executor is its own process — is:
+clusters where each executor is its own process — depends on the
+workload's memory profile:
 
-| span | machine efficiency (independent processes) |
-|---|---|
-| 2 -> 8 | ~0.87 |
-| 4 -> 16 | ~0.79 |
-| 8 -> 32 | ~0.61-0.68 |
+| span | compute-bound ceiling (cache-resident) | bandwidth-bound ceiling (streaming arrays) |
+|---|---|---|
+| 2 -> 8 | ~0.94 | ~0.46 |
+| 4 -> 16 | ~0.79 | ~0.37 |
+| 8 -> 32 | ~0.49 | ~0.49 |
 
-i.e. even embarrassingly parallel process fleets cannot reach 0.8 at
-8->32 on this box (shared memory bandwidth). On top of that, Spark
-local[N] runs all executors inside ONE JVM: we measured the local-mode
-BlockManager serializing concurrent persist() writes (4-6x anti-scaling
-at 32 threads — why the engine stages through parquet, and why a real
-cluster with per-node executor JVMs is the deployment target). The
-{n}->{4 * n} span is the widest this sandbox can measure without the
-single-JVM artifact dominating; the engine plan itself (two hash-
-partitioned shuffles, salted hot keys, narrow everything else) has no
-serial section — see README "Scale design".
+The bandwidth probe shows ZERO speedup from 4 to 8 independent
+processes — the socket's memory bus saturates at ~4 concurrent
+streams. The engine's vectorized numpy stages (remap, byte-matrix
+WKB/MVT assembly) are streaming-bandwidth workloads, so the measured
+pipeline efficiency necessarily sits BETWEEN the two ceilings; per-core
+CPU inflation from 2 to 8 threads (executorCpuTime per unit work,
+tools/profile_pyramid.py) is the direct signature. On a real cluster
+each executor node brings its own memory bus, so the bandwidth term
+scales with nodes — the local-mode shared-bus artifact does not exist
+there. On top of that, Spark local[N] runs all executors inside ONE
+JVM: we measured the local-mode BlockManager serializing concurrent
+persist() writes (4-6x anti-scaling at 32 threads — why the engine
+stages through parquet, and why a real cluster with per-node executor
+JVMs is the deployment target). The {n}->{4 * n} span is the widest
+this sandbox can measure without the single-JVM artifact dominating;
+the engine plan itself (two hash-partitioned shuffles, salted hot keys,
+narrow everything else) has no serial section and every stage runs
+>= 7.6/8 cores busy at local[8] (BENCH/PLANS.md + profile) — see
+README "Scale design".
 
 Raw bench lines (all reps, interleaved):
 

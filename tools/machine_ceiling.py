@@ -24,18 +24,39 @@ def burn(_):
     return float(x.sum())
 
 
-def main():
+def burn_bandwidth(_):
+    """Streaming regime: elementwise passes over arrays far larger than
+    cache — the memory-access profile of the engine's vectorized numpy
+    stages (remap, byte-matrix WKB/MVT assembly), which share the
+    socket's memory bandwidth across processes where the cache-resident
+    matmul probe does not."""
+    import numpy as np
+    x = np.random.RandomState(1).rand(6_000_000)  # ~48 MB
+    y = np.empty_like(x)
+    for _ in range(30):
+        np.multiply(x, 1.0000001, out=y)
+        np.add(y, 0.1, out=y)
+        x, y = y, x
+    return float(x[0])
+
+
+def run_probe(fn, label):
     results = {}
     for n in (1, 2, 4, 8, 16, 32):
         t0 = time.time()
         with mp.Pool(n) as p:
-            p.map(burn, range(64))
+            p.map(fn, range(64))
         results[n] = time.time() - t0
-        print(f"{n:3d} procs: {results[n]:6.2f} s  "
+        print(f"[{label}] {n:3d} procs: {results[n]:6.2f} s  "
               f"speedup {results[1] / results[n]:5.2f}x")
     for (a, b) in ((2, 8), (4, 16), (8, 32)):
         eff = (results[a] / results[b]) / (b / a)
-        print(f"efficiency {a}->{b}: {eff:.2f}")
+        print(f"[{label}] efficiency {a}->{b}: {eff:.2f}")
+
+
+def main():
+    run_probe(burn, "compute(cache-resident matmul)")
+    run_probe(burn_bandwidth, "bandwidth(streaming 48MB)")
 
 
 if __name__ == "__main__":
