@@ -264,7 +264,12 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     hash). Here the token hash and every vote run in generated code with
     map-side partial aggregation — the shuffle carries ~docs x 65 longs
     regardless of text size. explode_outer keeps zero-token docs (null
-    token row -> no votes, count 0 -> signature 0) without a re-join."""
+    token row -> no votes, count 0 -> signature 0) without a re-join.
+
+    NULL-text docs are excluded entirely (no signature row), preserving
+    the pre-restructure semantics where a null signature never matched
+    in the blocking join — only EMPTY/blank text maps to signature 0."""
+    df = df.filter(F.col(text_col).isNotNull())
     toks = df.select(
         id_col,
         F.explode_outer(F.expr(

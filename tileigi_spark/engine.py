@@ -509,7 +509,10 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                 if f is not None:
                     frames.append(f)
             pdf = pdf[~is_pt.values]
-            if len(pdf):
+            # the rect fast path's simplify wipe tiering (rectfast.py)
+            # is derived for eps2 = 64; with any other epsilon the
+            # candidates take the scalar branch, which honors it
+            if len(pdf) and epsilon == 8:
                 is_r5 = pdf["way"].map(_is_ring5_polygon_wkb)
                 cands = pdf[is_r5.values]
                 if len(cands):

@@ -123,7 +123,11 @@ def rect_pieces(x0, y0, x1, y1, state, zooms, size_mt, x0t, y0t,
     wrapped the repaired ring.
     """
     n = len(x0)
-    eps2 = 64  # epsilon 8, squared — O5 skips simplify at maxzoom
+    # epsilon 8, squared — O5 skips simplify at maxzoom. The overflow
+    # tiering below is derived for this value; callers with a different
+    # epsilon must take the scalar branch (engine.geometry_stage gates
+    # the fast path on epsilon == 8)
+    eps2 = 64
 
     # simplify: identity or dropped (see module docstring). The exact
     # predicate (w*h)^2 < eps2*(w^2+h^2) overflows int64 for features

@@ -30,8 +30,16 @@ def run(cpus: int, sf_dir: str, replicas: int) -> dict:
             env=env, capture_output=True, text=True, timeout=3400)
         lines = out.stdout.strip().splitlines()
         if lines:
-            return json.loads(lines[-1])
-        last_err = out.stderr
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                # a leg that crashed after emitting partial stdout (or a
+                # JVM line polluting it) counts as a failed attempt, not
+                # a session-killing exception
+                last_err = ("unparseable stdout tail: "
+                            + lines[-1][:500] + "\n" + out.stderr)
+        else:
+            last_err = out.stderr
         errpath = os.path.join("/tmp", f"bench_leg_cpus{cpus}_fail.log")
         with open(errpath, "w") as f:
             f.write(last_err)
