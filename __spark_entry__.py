@@ -1030,8 +1030,13 @@ ORDER BY x, y, nationkey
 
 
 def _q_tiles(spark, sf_dir):
-    """Full MVT pyramid z0-z4 over document points (rows-only check —
-    tile bytes aren't SQL-expressible)."""
+    """Full MVT pyramid z0-z4 over document points, ORACLED VIA DECODE:
+    every emitted tile's bytes are decoded back (in-repo MVT decoder,
+    geom/mvt.py) into integer facts per tile — feature count, tile-local
+    coordinate sums, distinct lang-tag count — which a DuckDB remap+fan
+    twin verifies exactly. Encoder/decoder shared-bug risk is covered
+    separately by the golden-byte fixtures (tests/test_engine_golden*)
+    at two parallelism levels."""
     from tileigi_spark.config import Layer, Layers
     from tileigi_spark.engine import build_tiles
 
@@ -1040,7 +1045,106 @@ def _q_tiles(spark, sf_dir):
                                   maxzoom=14, buffer=2)],
                     global_maxzoom=14)
     tiles = build_tiles(spark, {"docs": feats}, layers, 0, 4)
-    return tiles.select("zoom", "x", "y", "tile_md5").orderBy("zoom", "x", "y")
+
+    def dec(iterator):
+        import pandas as pd
+        from tileigi_spark.geom.mvt import decode_tile, decode_geometry
+
+        for pdf in iterator:
+            rows = {k: [] for k in ("zoom", "x", "y", "n_feat",
+                                    "sum_px", "sum_py", "n_lang")}
+            for z, x, y, tb in zip(pdf["zoom"], pdf["x"], pdf["y"],
+                                   pdf["tile"]):
+                n = sx = sy = 0
+                langs = set()
+                for layer in decode_tile(bytes(tb)):
+                    keys, vals = layer["keys"], layer["values"]
+                    for ftype, tags, gpay, _fid in layer["features"]:
+                        n += 1
+                        g = decode_geometry(ftype, gpay)
+                        pts = [g[1]] if g[0] == "Point" else g[1]
+                        for px, py in pts:
+                            sx += px
+                            sy += py
+                        for ki, vi in zip(tags[::2], tags[1::2]):
+                            if keys[ki] == "lang":
+                                langs.add(vals[vi])
+                rows["zoom"].append(int(z))
+                rows["x"].append(int(x))
+                rows["y"].append(int(y))
+                rows["n_feat"].append(n)
+                rows["sum_px"].append(sx)
+                rows["sum_py"].append(sy)
+                rows["n_lang"].append(len(langs))
+            yield pd.DataFrame(rows)
+
+    return (tiles.mapInPandas(
+        dec, schema="zoom int, x long, y long, n_feat long, "
+                    "sum_px long, sum_py long, n_lang long")
+        .orderBy("zoom", "x", "y"))
+
+
+# DuckDB twin of the z0-z4 point pyramid, decoded-tile facts. Metatile
+# bounds are dyadic (±MERC_MAX, 0) so every remap constant below is the
+# EXACT double the engine computes (x0t/n*WORLD - MERC_MAX for
+# power-of-two positions); operation order in vx/vy matches the numpy
+# fast path bit-for-bit. Fan math mirrors engine._points_fast_path:
+# keep u,v in [-32, extent+32], tile t iff u in [t*4096-32, (t+1)*4096+32].
+# z0-z3 are single world metatiles (size_mt = 2^z); z4 has 2x2 metatiles
+# of 8 tiles (metatile_scale 8).
+_MVT_PYRAMID_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+mt(zoom, size_mt, x0t, y0t, minx, maxy, den, extent) AS (VALUES
+  (0, 1, 0, 0, -{_R_MERC}, {_R_MERC}, {_R_WORLD}, 4096.0),
+  (1, 2, 0, 0, -{_R_MERC}, {_R_MERC}, {_R_WORLD}, 8192.0),
+  (2, 4, 0, 0, -{_R_MERC}, {_R_MERC}, {_R_WORLD}, 16384.0),
+  (3, 8, 0, 0, -{_R_MERC}, {_R_MERC}, {_R_WORLD}, 32768.0),
+  (4, 8, 0, 0, -{_R_MERC}, {_R_MERC}, {_R_MERC}, 32768.0),
+  (4, 8, 8, 0, 0.0, {_R_MERC}, {_R_MERC}, 32768.0),
+  (4, 8, 0, 8, -{_R_MERC}, 0.0, {_R_MERC}, 32768.0),
+  (4, 8, 8, 8, 0.0, 0.0, {_R_MERC}, 32768.0)),
+rem AS (
+  SELECT m.zoom, m.size_mt, m.x0t, m.y0t, p.lang,
+    ((p.mx - m.minx) / m.den) * m.extent AS vx,
+    ((m.maxy - p.my) / m.den) * m.extent AS vy
+  FROM pts p CROSS JOIN mt m
+),
+uv AS (
+  SELECT zoom, size_mt, x0t, y0t, lang,
+    CAST(CASE WHEN vx >= 0 THEN FLOOR(vx + 0.5)
+              ELSE CEIL(vx - 0.5) END AS BIGINT) AS u,
+    CAST(CASE WHEN vy >= 0 THEN FLOOR(vy + 0.5)
+              ELSE CEIL(vy - 0.5) END AS BIGINT) AS v
+  FROM rem
+),
+keep AS (
+  SELECT * FROM uv
+  WHERE u BETWEEN -32 AND size_mt * 4096 + 32
+    AND v BETWEEN -32 AND size_mt * 4096 + 32
+),
+fanx AS (
+  SELECT zoom, size_mt, x0t, y0t, lang, u, v,
+    UNNEST(generate_series(
+      GREATEST(0, CAST(CEIL((u - 32) / 4096.0) AS BIGINT) - 1),
+      LEAST(size_mt - 1, (u + 32) // 4096))) AS tx
+  FROM keep
+),
+fany AS (
+  SELECT zoom, x0t, y0t, lang, u, v, tx,
+    UNNEST(generate_series(
+      GREATEST(0, CAST(CEIL((v - 32) / 4096.0) AS BIGINT) - 1),
+      LEAST(size_mt - 1, (v + 32) // 4096))) AS ty
+  FROM fanx
+)
+SELECT zoom, x0t + tx AS x, y0t + ty AS y,
+  COUNT(*) AS n_feat,
+  CAST(SUM(u - tx * 4096) AS BIGINT) AS sum_px,
+  CAST(SUM(v - ty * 4096) AS BIGINT) AS sum_py,
+  COUNT(DISTINCT lang) AS n_lang
+FROM fany
+GROUP BY 1, 2, 3
+ORDER BY zoom, x, y
+"""
 
 
 def _q_multimodal(spark, sf_dir):
@@ -1138,6 +1242,9 @@ def oracle_sql() -> dict[str, str]:
         "bbox_pyramid": _bbox_pyramid_sql(),
         "poly_pieces_z2": _POLY_PIECES_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
-        # rows-only (non-SQL-expressible): mvt_pyramid (binary tile
-        # bytes; pinned by golden-byte pytest fixtures instead)
+        # mvt_pyramid: tile BYTES aren't SQL-expressible, so the query
+        # decodes every emitted tile (in-repo MVT decoder) into integer
+        # facts and those are oracled; bytes stay pinned by golden-byte
+        # pytest fixtures at two parallelism levels
+        "mvt_pyramid": _MVT_PYRAMID_SQL,
     }
