@@ -1,0 +1,312 @@
+"""Parity: the ragged batch lane (geom/batch.py) vs the scalar chain.
+
+The scalar reference here is the historic per-row loop of
+engine.geometry_stage (decode -> remap -> remove_unneeded -> RDP -> clip
+-> slice -> make_valid -> winding -> shift), reproduced from the ported
+reference kernels. The batch lane must emit the exact same piece set
+(tile coords + WKB bytes) for every input.
+"""
+
+import math
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tileigi_spark.geom.batch import process_general, _scalar_chain, \
+    _rdp_keep
+from tileigi_spark.geom.wkb import geom_to_wkb, wkb_to_geom
+from tileigi_spark.geom.remap import remap_geometry
+from tileigi_spark.geom.simplify import _rdp
+from tileigi_spark.mercator import MERC_MAX
+
+WORLD = 2.0 * MERC_MAX
+
+
+def scalar_reference(pdf, prop_names, buffer_units, metatile_scale,
+                     global_maxzoom, epsilon):
+    rows = []
+    for i in range(len(pdf)):
+        zoom = int(pdf["zoom"].iloc[i])
+        size_mt = min(metatile_scale, 1 << zoom)
+        mtx, mty = int(pdf["mtx"].iloc[i]), int(pdf["mty"].iloc[i])
+        x0t, y0t = mtx * size_mt, mty * size_mt
+        n = 1 << zoom
+        minx = x0t / n * WORLD - MERC_MAX
+        maxx = (x0t + size_mt) / n * WORLD - MERC_MAX
+        maxy = MERC_MAX - y0t / n * WORLD
+        miny = MERC_MAX - (y0t + size_mt) / n * WORLD
+        extent = 4096.0 * size_mt
+        w = pdf["way"].iloc[i]
+        if w is None:
+            continue
+        try:
+            geom = wkb_to_geom(bytes(w))
+        except ValueError:
+            continue
+        geom = remap_geometry(geom, minx, maxx, miny, maxy, extent)
+        if geom is None:
+            continue
+        pieces = _scalar_chain(geom, "unneeded", size_mt, x0t, y0t,
+                               int(extent), buffer_units,
+                               zoom < global_maxzoom, epsilon)
+        for tx, ty, piece in pieces:
+            rows.append((zoom, tx, ty, int(pdf["feature_id"].iloc[i]),
+                         geom_to_wkb(piece)))
+    return rows
+
+
+def run_both(records, prop_names=("tag",), buffer_units=32,
+             metatile_scale=8, global_maxzoom=14, epsilon=8):
+    pdf = pd.DataFrame(records)
+    ref = scalar_reference(pdf, list(prop_names), buffer_units,
+                           metatile_scale, global_maxzoom, epsilon)
+    got = process_general(pdf, list(prop_names), buffer_units,
+                          metatile_scale, global_maxzoom, epsilon)
+    got_rows = [] if got is None else [
+        (int(r.zoom), int(r.x), int(r.y), int(r.feature_id),
+         bytes(r.geom)) for r in got.itertuples()]
+    return sorted(ref), sorted(got_rows)
+
+
+def rec(geom, zoom=3, mtx=0, mty=0, fid=0):
+    return {"zoom": zoom, "mtx": mtx, "mty": mty, "feature_id": fid,
+            "way": None if geom is None else geom_to_wkb(geom),
+            "tag": f"t{fid % 5}"}
+
+
+def ring(cx, cy, r, npts, wobble=None, rev=False, rot=0.0):
+    pts = []
+    for k in range(npts):
+        a = 2 * math.pi * k / npts + rot
+        rr = r * (wobble[k % len(wobble)] if wobble else 1.0)
+        pts.append((cx + rr * math.cos(a), cy + rr * math.sin(a)))
+    pts.append(pts[0])
+    return pts[::-1] if rev else pts
+
+
+class TestBatchParityTargeted:
+    def test_concave_polygons(self):
+        recs = [rec(("Polygon", [ring(0, 0, 3e6, 12,
+                                      wobble=[1, .3, .8, .5], rev=rv)]),
+                    zoom=z, fid=i)
+                for i, (z, rv) in enumerate(
+                    [(0, False), (2, True), (4, False), (6, True)])]
+        ref, got = run_both(recs)
+        assert ref == got and len(ref) > 0
+
+    def test_star_self_intersecting(self):
+        # doubly-wound star: uniform turn sign but self-crossing, must
+        # take the make_valid repair path
+        pts = ring(1e6, -2e6, 4e6, 5)
+        star = [pts[0]]
+        for k in [2, 4, 1, 3]:
+            star.append(pts[k])
+        star.append(pts[0])
+        ref, got = run_both([rec(("Polygon", [star]), zoom=z, fid=z)
+                             for z in range(5)])
+        assert ref == got
+
+    def test_hole_windings(self):
+        ext = ring(0, 0, 5e6, 8)
+        hole = ring(0, 0, 1e6, 5)
+        for i, (er, hr) in enumerate([(False, False), (False, True),
+                                      (True, False), (True, True)]):
+            ref, got = run_both([rec(("Polygon",
+                                      [ext[::-1] if er else ext,
+                                       hole[::-1] if hr else hole]),
+                                     zoom=3, fid=i)])
+            assert ref == got, (er, hr)
+
+    def test_duplicate_heavy_ring(self):
+        base = ring(2e6, 2e6, 8e5, 5)
+        dup = []
+        for p in base[:-1]:
+            dup.extend([p, p, p])
+        dup.append(dup[0])
+        ref, got = run_both([rec(("Polygon", [dup]))])
+        assert ref == got
+
+    def test_closed_linestring_endpoint_spike(self):
+        # closed line triggers the ring-endpoint despike handling
+        ps = ring(-3e6, 1e6, 2e6, 6)
+        ref, got = run_both([rec(("LineString", ps))])
+        assert ref == got
+
+    def test_mls_collapse_to_ls(self):
+        # one member dies at remap (all points collapse) -> LineString
+        tiny = [(1.0, 1.0), (1.0000001, 1.0000001)]
+        big = [(0, 0), (5e6, 5e6), (5e6, 0)]
+        ref, got = run_both([rec(("MultiLineString", [tiny, big]),
+                                 zoom=1)])
+        assert ref == got
+
+    def test_mp_member_dies_at_rdp_stays_multi(self):
+        # a polygon small enough that RDP wipes it at low zoom but which
+        # survives remap: the feature must stay MultiPolygon-of-1
+        small = ring(0, 0, 9e3, 5)       # few tile units at z0
+        big = ring(-4e6, -4e6, 5e6, 7)
+        ref, got = run_both([rec(("MultiPolygon", [[small], [big]]),
+                                 zoom=0)])
+        assert ref == got
+
+    def test_multipoint_and_malformed_route_scalar(self):
+        recs = [rec(("MultiPoint", [(0, 0), (1e6, 1e6)])),
+                rec(("Point", (0.0, 0.0)), fid=1)]
+        recs.append({"zoom": 3, "mtx": 0, "mty": 0, "feature_id": 2,
+                     "way": b"\x01\x02\x00\x00\x00\xff\xff\xff\xff",
+                     "tag": "x"})
+        ref, got = run_both(recs)
+        assert ref == got
+
+    def test_coordinate_guard_falls_back(self):
+        # geometry far outside the world at deep zoom: remapped coords
+        # exceed the 2^26 lane guard -> exact scalar bigint path
+        far = ring(50 * MERC_MAX, 50 * MERC_MAX, 1e6, 6)
+        near = ring(0, 0, 1e6, 6)
+        ref, got = run_both([rec(("Polygon", [far]), zoom=8, fid=0),
+                             rec(("Polygon", [near]), zoom=8, fid=1)],
+                            metatile_scale=8)
+        assert ref == got
+
+    def test_maxzoom_skips_rdp(self):
+        wob = [1, .4, .9, .6, .3]
+        recs = [rec(("Polygon", [ring(0, 0, 4e6, 14, wobble=wob)]),
+                    zoom=3, fid=0)]
+        ref, got = run_both(recs, global_maxzoom=3)
+        assert ref == got and len(ref) > 0
+
+    def test_props_carried(self):
+        pdf = pd.DataFrame([rec(("Polygon", [ring(0, 0, 4e6, 8)]))])
+        out = process_general(pdf, ["tag"], 32, 8, 14, 8)
+        assert out is not None and set(out["tag"]) == {"t0"}
+
+
+class TestBatchParityFuzz:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fuzz(self, seed):
+        rng = random.Random(seed)
+
+        def snap(x, g):
+            return round(x / g) * g
+
+        def rand_geom():
+            kind = rng.choice(["ls", "poly", "mls", "mp", "concave",
+                               "grid", "hole", "closedls", "star",
+                               "dupheavy", "weird"])
+            cx = rng.uniform(-MERC_MAX, MERC_MAX)
+            cy = rng.uniform(-MERC_MAX, MERC_MAX)
+            s = rng.uniform(1e2, 2e7)
+            grid = rng.choice([None, 1e3, 1e5])
+
+            def pt():
+                x = cx + rng.uniform(-s, s)
+                y = cy + rng.uniform(-s, s)
+                if grid:
+                    x, y = snap(x, grid), snap(y, grid)
+                return (x, y)
+
+            if kind == "weird":
+                r = rng.random()
+                if r < 0.25:
+                    return None
+                if r < 0.5:
+                    return ("Point", (cx, cy))
+                if r < 0.75:
+                    return ("MultiPoint", [pt() for _ in range(3)])
+                return ("LineString", [pt()])
+            if kind == "closedls":
+                ps = [pt() for _ in range(rng.randint(3, 6))]
+                ps.append(ps[0])
+                return ("LineString", ps)
+            if kind == "dupheavy":
+                base = [pt() for _ in range(4)]
+                ps = []
+                for p in base:
+                    ps.extend([p] * rng.randint(1, 3))
+                ps.append(ps[0])
+                return ("Polygon", [ps])
+            if kind == "ls":
+                return ("LineString",
+                        [pt() for _ in range(rng.randint(2, 30))])
+            if kind == "mls":
+                return ("MultiLineString",
+                        [[pt() for _ in range(rng.randint(2, 8))]
+                         for _ in range(rng.randint(1, 4))])
+            if kind == "star":
+                npts = rng.randint(5, 9)
+                r_ = [(cx + s * math.cos(4 * math.pi * k / npts),
+                       cy + s * math.sin(4 * math.pi * k / npts))
+                      for k in range(npts)]
+                r_.append(r_[0])
+                return ("Polygon", [r_])
+            if kind == "hole":
+                npts = rng.randint(4, 10)
+                ext = ring(cx, cy, s, npts, rev=rng.random() < .5)
+                hole = ring(cx, cy, 0.3 * s, 5, rev=rng.random() < .5)
+                return ("Polygon", [ext, hole])
+            if kind in ("poly", "concave", "grid"):
+                npts = rng.randint(3, 24)
+                r_ = []
+                for k in range(npts):
+                    a = 2 * math.pi * k / npts
+                    rr = s * (rng.uniform(0.2, 1.0)
+                              if kind == "concave" else 1.0)
+                    x = cx + rr * math.cos(a)
+                    y = cy + rr * math.sin(a)
+                    if kind == "grid" or grid:
+                        g = grid or 1e4
+                        x, y = snap(x, g), snap(y, g)
+                    r_.append((x, y))
+                r_.append(r_[0])
+                if rng.random() < 0.5:
+                    r_ = r_[::-1]
+                return ("Polygon", [r_])
+            polys = []
+            for _ in range(rng.randint(1, 4)):
+                npts = rng.randint(3, 8)
+                r0 = rng.uniform(1e3, 2e7)
+                ox = cx + rng.uniform(-s, s)
+                oy = cy + rng.uniform(-s, s)
+                polys.append([ring(ox, oy, r0, npts)])
+            return ("MultiPolygon", polys)
+
+        recs = []
+        for i in range(200):
+            g = rand_geom()
+            zoom = rng.randint(0, 8)
+            size = min(8, 1 << zoom)
+            naxis = (1 << zoom) // size
+            recs.append({"zoom": zoom,
+                         "mtx": rng.randrange(max(naxis, 1)),
+                         "mty": rng.randrange(max(naxis, 1)),
+                         "feature_id": i,
+                         "way": None if g is None else geom_to_wkb(g),
+                         "tag": f"t{i % 7}"})
+        gmax = rng.choice([4, 8, 14])
+        ref, got = run_both(recs, global_maxzoom=gmax)
+        assert ref == got
+        assert len(ref) > 50  # the fuzz actually exercises the lane
+
+
+class TestRdpNumpyTwin:
+    @pytest.mark.parametrize("seed", range(20))
+    def test_rdp_mask_matches_scalar(self, seed):
+        rng = random.Random(seed)
+        n = rng.randint(3, 60)
+        pts = []
+        last = None
+        while len(pts) < n:
+            p = (rng.randint(-40000, 40000), rng.randint(-40000, 40000))
+            if p != last:
+                pts.append(p)
+                last = p
+        if rng.random() < 0.5:
+            pts.append(pts[0])  # closed
+        ref = _rdp(list(pts), 8)
+        xs = np.array([p[0] for p in pts], dtype=np.int64)
+        ys = np.array([p[1] for p in pts], dtype=np.int64)
+        keep = _rdp_keep(xs, ys, 64)
+        got = [p for p, k in zip(pts, keep) if k]
+        assert ref == got

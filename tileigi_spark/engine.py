@@ -36,10 +36,6 @@ from pyspark.sql.types import (
 from .config import Layers
 from .mercator import MERC_MAX, bbox_metatile_range, bbox_tile_range
 from .geom.wkb import wkb_to_geom, geom_to_wkb
-from .geom.remap import remap_geometry
-from .geom.simplify import remove_unneeded_points, simplify
-from .geom.clip import clip_to_bbox, clip_geometry_to_tiles
-from .geom.validity import make_valid, is_valid, ensure_polygon_orientation
 from .geom import mvt
 
 WORLD = 2.0 * MERC_MAX
@@ -497,10 +493,8 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
     buffer_units = buffer_px * 16  # lib.rs:508
 
     def run(iterator):
-        cols = ["zoom", "x", "y", "feature_id", "geom"] + prop_names
         for pdf in iterator:
             frames = []
-            rows = {k: [] for k in cols}
             is_pt = pdf["way"].map(_is_simple_point_wkb)
             pts = pdf[is_pt.values]
             if len(pts):
@@ -523,67 +517,18 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
                         frames.append(f)
                     pdf = pd.concat([pdf[~is_r5.values], leftover]) \
                         if len(leftover) else pdf[~is_r5.values]
-            # direct array indexing: itertuples namedtuple construction
-            # + per-piece getattr was measurable wrapper overhead on
-            # line-heavy batches (the kernels themselves are ~17µs/row)
-            a_zoom = pdf["zoom"].to_numpy(np.int64)
-            a_mtx = pdf["mtx"].to_numpy(np.int64)
-            a_mty = pdf["mty"].to_numpy(np.int64)
-            a_fid = pdf["feature_id"].to_numpy(np.int64)
-            a_way = pdf["way"].values
-            a_props = [(p, pdf[p].values) for p in prop_names]
-            for i in range(len(pdf)):
-                zoom = int(a_zoom[i])
-                size_mt = min(metatile_scale, 1 << zoom)
-                mtx = int(a_mtx[i])
-                mty = int(a_mty[i])
-                x0t = mtx * size_mt
-                y0t = mty * size_mt
-                n = 1 << zoom
-                minx = x0t / n * WORLD - MERC_MAX
-                maxx = (x0t + size_mt) / n * WORLD - MERC_MAX
-                maxy = MERC_MAX - y0t / n * WORLD
-                miny = MERC_MAX - (y0t + size_mt) / n * WORLD
-                extent = 4096.0 * size_mt
-                try:
-                    geom = wkb_to_geom(bytes(a_way[i]))
-                except ValueError:
-                    continue
-                geom = remap_geometry(geom, minx, maxx, miny, maxy, extent)
-                if geom is None:
-                    continue
-                geom = remove_unneeded_points(geom)
-                if geom is None:
-                    continue
-                if zoom < global_maxzoom:  # O5 (lib.rs:615-622)
-                    geom = simplify(geom, epsilon)
-                    if geom is None:
-                        continue
-                geom = clip_to_bbox(geom, -buffer_units, -buffer_units,
-                                    int(extent) + buffer_units,
-                                    int(extent) + buffer_units)
-                if geom is None:
-                    continue
-                pieces = clip_geometry_to_tiles(geom, size_mt, x0t, y0t,
-                                                buffer_units)
-                for (tx, ty), piece in pieces:
-                    piece = make_valid(piece)
-                    if piece is None:
-                        continue
-                    if not is_valid(piece):  # lib.rs:697-703
-                        continue
-                    piece = ensure_polygon_orientation(piece)
-                    piece = _shift_geom(piece, (tx - x0t) * 4096,
-                                        (ty - y0t) * 4096)
-                    rows["zoom"].append(zoom)
-                    rows["x"].append(tx)
-                    rows["y"].append(ty)
-                    rows["feature_id"].append(int(a_fid[i]))
-                    rows["geom"].append(geom_to_wkb(piece))
-                    for p, vals in a_props:
-                        rows[p].append(vals[i])
-            if rows["zoom"]:
-                frames.append(pd.DataFrame(rows, columns=cols))
+            # general shapes: ragged segment-batched numpy lane with
+            # per-stage scalar fallback (geom/batch.py); the historic
+            # per-row loop lives on as batch._scalar_chain for the
+            # features a stage would actually change
+            if len(pdf):
+                from .geom.batch import process_general
+
+                f = process_general(pdf, prop_names, buffer_units,
+                                    metatile_scale, global_maxzoom,
+                                    epsilon)
+                if f is not None:
+                    frames.append(f)
             if frames:
                 yield (frames[0] if len(frames) == 1 else
                        pd.concat(frames, ignore_index=True))
