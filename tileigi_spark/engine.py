@@ -1062,23 +1062,54 @@ def assemble_tiles(partials: DataFrame, compress: bool = True,
             layer_bytes = []
 
         for pdf in iterator:
+            n = len(pdf)
+            if n == 0:
+                continue
             zs = pdf["zoom"].values
             xs = pdf["x"].values
             ys = pdf["y"].values
             lo = pdf["layer_order"].values
             ly = pdf["layer"].values
             parts = pdf["part"].values
-            for i in range(len(pdf)):
-                tile_key = (int(zs[i]), int(xs[i]), int(ys[i]))
-                layer_key = (int(lo[i]), ly[i])
-                if tile_key != cur_tile:
+            # single-partial fast path: a sorted run of exactly one row
+            # per tile (the high-zoom norm) needs no merge and no
+            # per-row state walk — merge_partial_layers of one partial
+            # is the identity, so the tile is gzip(frame(part)) direct.
+            # Runs touching the batch edges may continue the previous/
+            # next Arrow batch's tile and take the stateful walk.
+            chg = np.ones(n, dtype=bool)
+            if n > 1:
+                chg[1:] = ((zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1])
+                           | (ys[1:] != ys[:-1]))
+            starts = np.flatnonzero(chg)
+            ends = np.append(starts[1:], n)
+            nruns = len(starts)
+            for k in range(nruns):
+                s, e = int(starts[k]), int(ends[k])
+                if 0 < k < nruns - 1 and e - s == 1:
                     flush_tile()
-                    cur_tile = tile_key
+                    cur_tile = None
                     cur_layer = None
-                if layer_key != cur_layer:
-                    flush_layer()
-                    cur_layer = layer_key
-                layer_parts.append(bytes(parts[i]))
+                    tile = mvt.encode_tile([bytes(parts[s])],
+                                           compress=compress)
+                    out["zoom"].append(int(zs[s]))
+                    out["x"].append(int(xs[s]))
+                    out["y"].append(int(ys[s]))
+                    out["tile"].append(tile)
+                    out["tile_md5"].append(
+                        hashlib.md5(tile).hexdigest())
+                else:
+                    for i in range(s, e):
+                        tile_key = (int(zs[i]), int(xs[i]), int(ys[i]))
+                        layer_key = (int(lo[i]), ly[i])
+                        if tile_key != cur_tile:
+                            flush_tile()
+                            cur_tile = tile_key
+                            cur_layer = None
+                        if layer_key != cur_layer:
+                            flush_layer()
+                            cur_layer = layer_key
+                        layer_parts.append(bytes(parts[i]))
                 if len(out["zoom"]) >= 2000:
                     yield pd.DataFrame(out)
                     for v in out.values():
