@@ -186,6 +186,70 @@ def synth_lines(spark, n: int):
     return ids.mapInPandas(gen, out_schema)
 
 
+def synth_concave(spark, n: int):
+    """Deterministic CONCAVE 16-gon polygons (irregular radii, no axis
+    alignment — nothing here hits the rect fast path), exercising the
+    ragged batch lane's despike/RDP/slice/make_valid chain on the shapes
+    real admin/landuse layers have. Fixed 17-point rings let the WKB
+    assemble as one numpy byte matrix; one third are reversed winding so
+    the repair path runs."""
+    import numpy as np
+    import pandas as pd
+    from tileigi_spark.mercator import MERC_MAX
+
+    par = spark.sparkContext.defaultParallelism * 2
+    ids = spark.range(n).repartition(par)
+    out_schema = ("feature_id long, way binary, kind string, "
+                  "xmin double, ymin double, xmax double, ymax double")
+    NP = 16
+    wkb_len = 9 + 4 + (NP + 1) * 16
+
+    def gen(iterator):
+        for pdf in iterator:
+            i = pdf["id"].to_numpy(np.int64)
+            m = len(i)
+            if m == 0:
+                continue
+            span = 0.95 * MERC_MAX
+            cx = ((i * 2654435761) % 2_000_000) / 1e6 * span - span
+            cy = ((i * 69069) % 2_000_000) / 1e6 * span - span
+            base = 2000.0 * (1.0 + (i % 307)).astype(np.float64)
+            k = np.arange(NP)
+            ang = 2.0 * np.pi * k / NP
+            # deterministic per-vertex wobble in [0.35, 1.0]
+            wob = 0.35 + 0.65 * (((i[:, None] * 31 + k * 17) % 97) / 97.0)
+            r = base[:, None] * wob
+            px = np.empty((m, NP + 1))
+            py = np.empty((m, NP + 1))
+            px[:, :NP] = cx[:, None] + r * np.cos(ang)
+            py[:, :NP] = cy[:, None] + r * np.sin(ang)
+            rev = (i % 3) == 0
+            px[rev, :NP] = px[rev, :NP][:, ::-1]
+            py[rev, :NP] = py[rev, :NP][:, ::-1]
+            px[:, NP] = px[:, 0]
+            py[:, NP] = py[:, 0]
+            buf = np.empty((m, wkb_len), dtype=np.uint8)
+            buf[:, 0] = 1
+            buf[:, 1:5] = np.array([3, 0, 0, 0], dtype=np.uint8)
+            buf[:, 5:9] = np.array([1, 0, 0, 0], dtype=np.uint8)
+            buf[:, 9:13] = np.array([NP + 1, 0, 0, 0], dtype=np.uint8)
+            pts = np.empty((m, NP + 1, 2), dtype="<f8")
+            pts[:, :, 0] = px
+            pts[:, :, 1] = py
+            buf[:, 13:] = pts.reshape(m, (NP + 1) * 2).view(np.uint8)
+            raw = buf.tobytes()
+            yield pd.DataFrame({
+                "feature_id": i,
+                "way": [raw[j * wkb_len:(j + 1) * wkb_len]
+                        for j in range(m)],
+                "kind": np.char.add("area-", (i % 6).astype("U1")),
+                "xmin": px.min(axis=1), "ymin": py.min(axis=1),
+                "xmax": px.max(axis=1), "ymax": py.max(axis=1),
+            })
+
+    return ids.mapInPandas(gen, out_schema)
+
+
 def pages_to_features(geo):
     """Geotagged pages -> engine features with precomputed bbox columns
     (pure JVM mercator from lat/lon; keeps the pre-shuffle pipeline free
@@ -344,6 +408,54 @@ def main():
     _p(f"phase multilayer {ml_secs:.1f}s tiles={n_mtiles}")
     extra["multilayer_tiles_per_sec"] = round(n_mtiles / ml_secs, 2)
     extra["n_multilayer_tiles"] = n_mtiles
+
+    # ---- concave-polygon pyramid: irregular 16-gons (the batch lane's
+    # despike/RDP/slice/make_valid chain on real-world polygon shapes;
+    # no axis-rect fast path applies)
+    t0 = time.time()
+    n_concave = int(os.environ.get("SPARK_GRAFT_BENCH_CONCAVE",
+                                   min(REPLICAS * 150, 150_000)))
+    synth_concave(spark, n_concave).write.mode("overwrite") \
+        .parquet(f"{workdir}/concave")
+    concave = spark.read.parquet(f"{workdir}/concave")
+    cc_mz = int(os.environ.get("SPARK_GRAFT_BENCH_CONCAVE_MAXZOOM", "8"))
+    cc_thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({cc_mz} - "
+               f"zoom))) = 0")
+    cc_layers = Layers(layers=[Layer(id="areas", source="concave",
+                                     minzoom=0, maxzoom=14, buffer=2,
+                                     zoom_filter=cc_thin)],
+                       global_maxzoom=14)
+    ctiles = build_tiles(spark, {"concave": concave}, cc_layers, 0, cc_mz,
+                         shuffle_parts=cpus * 8)
+    n_ctiles = ctiles.count()
+    cc_secs = time.time() - t0
+    timings[f"concave_pyramid_z0_{cc_mz}"] = round(cc_secs, 3)
+    _p(f"phase concave_pyramid {cc_secs:.1f}s tiles={n_ctiles} "
+       f"polys={n_concave}")
+    extra["concave_tiles_per_sec"] = round(n_ctiles / cc_secs, 2)
+    extra["n_concave_tiles"] = n_ctiles
+    extra["n_concave"] = n_concave
+
+    # ---- z0-z14 city-bbox pyramid: the reference's default depth
+    # (bin/tileigi.rs:59-60) restricted to a 20x20-degree bbox — the
+    # high-zoom regime where tile groups are tiny and per-group
+    # constants dominate (bulk framers + single-partial assembly)
+    t0 = time.time()
+    hz_thin = ("pmod(abs(feature_id), shiftleft(1, 2 * (14 - zoom)))"
+               " = 0")
+    hz_layers = Layers(layers=[Layer(id="pages", source="pages",
+                                     minzoom=0, maxzoom=14, buffer=2,
+                                     zoom_filter=hz_thin)],
+                       global_maxzoom=14)
+    hz_tiles = build_tiles(spark, {"pages": feats}, hz_layers, 0, 14,
+                           shuffle_parts=cpus * 8,
+                           bbox=(10.0, 10.0, 30.0, 30.0))
+    n_hz = hz_tiles.count()
+    hz_secs = time.time() - t0
+    timings["highzoom_pyramid_z0_14_bbox"] = round(hz_secs, 3)
+    _p(f"phase highzoom_pyramid {hz_secs:.1f}s tiles={n_hz}")
+    extra["highzoom_tiles_per_sec"] = round(n_hz / hz_secs, 2)
+    extra["n_highzoom_tiles"] = n_hz
 
     import shutil
     shutil.rmtree(workdir, ignore_errors=True)

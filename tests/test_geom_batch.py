@@ -290,6 +290,48 @@ class TestBatchParityFuzz:
         assert len(ref) > 50  # the fuzz actually exercises the lane
 
 
+class TestWindOnlyRepairProperty:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_dissolve_of_simple_ccw_ring_is_samestart_reversal(self, seed):
+        """Pins the wind-only vectorized repair in _validate_emit: for a
+        simple, despiked, strictly-CCW single ring, make_valid's dissolve
+        emits exactly the same-start reversed ring as MultiPolygon."""
+        from tileigi_spark.geom.validity import (make_valid, is_ccw,
+                                                 has_self_intersections)
+        from tileigi_spark.geom.simplify import remove_unneeded_points
+
+        rng = random.Random(seed)
+        checked = 0
+        while checked < 150:
+            n = rng.randint(3, 30)
+            cx, cy = rng.randint(-2000, 2000), rng.randint(-2000, 2000)
+            pts = []
+            for k in range(n):
+                a = 2 * math.pi * k / n
+                r = rng.uniform(5, 1500)
+                p = (cx + int(r * math.cos(a)),
+                     cy + int(r * math.sin(a)))
+                if not pts or p != pts[-1]:
+                    pts.append(p)
+            if len(pts) < 3:
+                continue
+            g = remove_unneeded_points(("Polygon", [pts + [pts[0]]]))
+            if g is None or g[0] != "Polygon" or len(g[1]) != 1:
+                continue
+            r_ = g[1][0]
+            if has_self_intersections(r_):
+                continue
+            if not is_ccw(r_):
+                r_ = r_[::-1]
+            if not is_ccw(r_):
+                continue
+            got = make_valid(("Polygon", [r_]))
+            want = ("MultiPolygon",
+                    [[[r_[0]] + list(reversed(r_[:-1]))[:-1] + [r_[0]]]])
+            assert got == want
+            checked += 1
+
+
 class TestRdpNumpyTwin:
     @pytest.mark.parametrize("seed", range(20))
     def test_rdp_mask_matches_scalar(self, seed):

@@ -60,6 +60,7 @@ randomized geometry (parity is the correctness contract).
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -249,10 +250,19 @@ def _ring_tuples(u, v, s, e):
     return list(zip(u[s:e].tolist(), v[s:e].tolist()))
 
 
+def _feat_ring_range(ring_feat, f):
+    """[r0, r1) ring span of feature f (ring_feat is sorted — features'
+    rings stay adjacent through every compaction). O(log R), replacing
+    an O(R) scan that went quadratic on fallback-heavy batches."""
+    r0 = int(np.searchsorted(ring_feat, f, side="left"))
+    r1 = int(np.searchsorted(ring_feat, f, side="right"))
+    return range(r0, r1)
+
+
 def _materialize(st, f, multi):
     """Rebuild feature f's geometry tuple from ragged state with the
     type the scalar chain would carry at this stage."""
-    sel = np.flatnonzero(st["ring_feat"] == f)
+    sel = _feat_ring_range(st["ring_feat"], f)
     u, v, off = st["u"], st["v"], st["off"]
     if st["role"][f] == _LINE:
         lines = [_ring_tuples(u, v, int(off[r]), int(off[r + 1]))
@@ -744,7 +754,7 @@ def _boxed_to_geom(is_line, is_mp, members):
 
 def _materialize_boxed(st, f, ring_bbs):
     """Feature f from ragged state as boxed members + is_line flag."""
-    sel = np.flatnonzero(st["ring_feat"] == f)
+    sel = _feat_ring_range(st["ring_feat"], f)
     u, v, off = st["u"], st["v"], st["off"]
     is_line = st["role"][f] == _LINE
     if is_line:
@@ -807,6 +817,19 @@ def process_general(pdf, prop_names, buffer_units, metatile_scale,
             for p, vals in a_props:
                 rows[p].append(vals[i])
 
+    def emit_many(fidx, txs, tys, wkbs):
+        """Columnar emit for the clean-piece stream: fidx/txs/tys are
+        int64 arrays, wkbs a list of bytes (one per piece)."""
+        rows["zoom"].extend(a_zoom[fidx].tolist())
+        rows["x"].extend(txs.tolist())
+        rows["y"].extend(tys.tolist())
+        rows["feature_id"].extend(a_fid[fidx].tolist())
+        rows["geom"].extend(wkbs)
+        for p, vals in a_props:
+            rows[p].extend(vals[fidx].tolist()
+                           if hasattr(vals[fidx], "tolist")
+                           else list(vals[fidx]))
+
     def emit_scalar_row(i):
         """Full scalar pipeline for row i (the historic loop body)."""
         try:
@@ -824,6 +847,16 @@ def process_general(pdf, prop_names, buffer_units, metatile_scale,
             geom, "unneeded", int(size_mt[i]), int(x0t[i]), int(y0t[i]),
             int(extent_i[i]), buffer_units, bool(do_simp[i]), epsilon))
 
+    if os.environ.get("SPARK_GRAFT_FORCE_SCALAR_GEOM") == "1":
+        # measurement/debug switch: route every feature through the
+        # historic per-row chain (used to report the scalar/batched
+        # ratio in BENCH/BASELINE.md)
+        for i in range(len(a_way)):
+            emit_scalar_row(i)
+        if not rows["zoom"]:
+            return None
+        return pd.DataFrame(rows, columns=cols)
+
     st, scalar_rows = _parse_rows(a_way)
     for i in scalar_rows:
         emit_scalar_row(i)
@@ -831,7 +864,8 @@ def process_general(pdf, prop_names, buffer_units, metatile_scale,
     if st is not None:
         _vector_lane(st, len(a_zoom), size_mt, x0t, y0t, minx, maxx,
                      miny, maxy, extent_f, extent_i, do_simp,
-                     buffer_units, epsilon, emit, emit_scalar_row)
+                     buffer_units, epsilon, emit, emit_scalar_row,
+                     emit_many)
 
     if not rows["zoom"]:
         return None
@@ -840,7 +874,7 @@ def process_general(pdf, prop_names, buffer_units, metatile_scale,
 
 def _vector_lane(st, F, size_mt, x0t, y0t, minx, maxx, miny, maxy,
                  extent_f, extent_i, do_simp, buffer_units, epsilon,
-                 emit, emit_scalar_row):
+                 emit, emit_scalar_row, emit_many):
     role_arr = np.zeros(F, dtype=np.int8)
     for f, r in st["role"].items():
         role_arr[f] = r
@@ -1065,11 +1099,11 @@ def _vector_lane(st, F, size_mt, x0t, y0t, minx, maxx, miny, maxy,
                 "p_multi": multi_f[feat_ids2],
             }
             _validate_emit(ps, x0t, y0t, size_mt, extent_i,
-                           buffer_units, epsilon, emit)
+                           buffer_units, epsilon, emit, emit_many)
     if pieces_extra:
         ps = _ingest_pieces(pieces_extra)
         _validate_emit(ps, x0t, y0t, size_mt, extent_i,
-                       buffer_units, epsilon, emit)
+                       buffer_units, epsilon, emit, emit_many)
 
 
 def _ingest_pieces(pieces):
@@ -1123,7 +1157,7 @@ def _ingest_pieces(pieces):
 def _materialize_piece(ps, pi):
     """Rebuild piece pi's geometry tuple with its carry type (the type
     the scalar chain would hand to make_valid)."""
-    sel = np.flatnonzero(ps["ring_piece"] == pi)
+    sel = _feat_ring_range(ps["ring_piece"], pi)
     u, v, off = ps["u"], ps["v"], ps["off"]
     if ps["p_line"][pi]:
         lines = [_ring_tuples(u, v, int(off[r]), int(off[r + 1]))
@@ -1144,7 +1178,7 @@ def _materialize_piece(ps, pi):
 
 
 def _validate_emit(ps, x0t, y0t, size_mt, extent_i, buffer_units,
-                   epsilon, emit):
+                   epsilon, emit, emit_many):
     """Batched make_valid/is_valid/orientation certificate over a piece
     state; certificate-clean pieces are emitted directly (make_valid is
     provably the identity up to the Multi-of-1 collapse), flagged pieces
@@ -1180,6 +1214,27 @@ def _validate_emit(ps, x0t, y0t, size_mt, extent_i, buffer_units,
     wind_bad = poly_r & (~safe | np.where(ring_int, sign != 1,
                                           sign != -1))
     ring_bad = spike | struct_bad | xbad | wind_bad
+
+    # wind-only repair: for a single-ring piece whose ONLY defect is a
+    # strictly-CCW exterior, make_valid's dissolve provably emits the
+    # same-start REVERSED ring wrapped as MultiPolygon (property-pinned
+    # vs the scalar repair in tests/test_geom_batch.py) — do that
+    # in-place instead of the scalar machinery
+    p_force_multi = np.zeros(P, dtype=bool)
+    only_wind = (wind_bad & ~(spike | struct_bad | xbad) & safe
+                 & (sign == 1) & ~ring_int)
+    if only_wind.any():
+        nring_of = np.bincount(ring_piece, minlength=P)
+        fixable = only_wind & (nring_of[ring_piece] == 1)
+        if fixable.any():
+            for r in np.flatnonzero(fixable).tolist():
+                s, e = int(off[r]), int(off[r + 1])
+                u[s + 1:e - 1] = u[s + 1:e - 1][::-1].copy()
+                v[s + 1:e - 1] = v[s + 1:e - 1][::-1].copy()
+            ring_bad = ring_bad & ~fixable
+            p_force_multi = np.bincount(ring_piece[fixable],
+                                        minlength=P) > 0
+
     piece_bad = np.zeros(P, dtype=bool)
     if ring_bad.any():
         piece_bad = np.bincount(ring_piece[ring_bad], minlength=P) > 0
@@ -1212,15 +1267,22 @@ def _validate_emit(ps, x0t, y0t, size_mt, extent_i, buffer_units,
     n_memb = np.bincount(ring_piece[line_r | ~ring_int], minlength=P)
     pids, first = np.unique(ring_piece, return_index=True)
     last = np.concatenate((first[1:], [len(sizes)]))
-    for k in range(len(pids)):
-        pi = int(pids[k])
-        if piece_bad[pi]:
-            continue
-        r0, r1 = int(first[k]), int(last[k])
-        slices = [raw[int(off[r]) * 16:int(off[r + 1]) * 16]
-                  for r in range(r0, r1)]
-        ints = [bool(ring_int[r]) for r in range(r0, r1)]
-        wkb = _encode_feature_wkb(bool(ps["p_line"][pi]),
-                                  n_memb[pi] >= 2, slices, ints)
-        emit(int(ps["p_feat"][pi]),
-             [(int(ps["p_txa"][pi]), int(ps["p_tya"][pi]), wkb)])
+    goodk = np.flatnonzero(~piece_bad[pids])
+    # byte offsets once (avoids int() casts in the hot loop)
+    boff = (off * 16).tolist()
+    ring_int_l = ring_int.tolist()
+    is_line_l = ps["p_line"].tolist()
+    multi_l = ((n_memb >= 2) | p_force_multi).tolist()
+    first_l = first.tolist()
+    last_l = last.tolist()
+    wkbs = []
+    for k in goodk.tolist():
+        pi = pids[k]
+        r0, r1 = first_l[k], last_l[k]
+        wkbs.append(_encode_feature_wkb(
+            is_line_l[pi], multi_l[pi],
+            [raw[boff[r]:boff[r + 1]] for r in range(r0, r1)],
+            ring_int_l[r0:r1]))
+    sel = pids[goodk]
+    emit_many(ps["p_feat"][sel], ps["p_txa"][sel], ps["p_tya"][sel],
+              wkbs)
