@@ -78,7 +78,9 @@ def main():
         return {k: max(r["throughput"][k] for r in runs)
                 for k in ("tiles_per_sec", "pages_per_sec",
                           "joined_rows_per_sec", "poly_tiles_per_sec",
-                          "multilayer_tiles_per_sec")}
+                          "multilayer_tiles_per_sec",
+                          "concave_tiles_per_sec",
+                          "highzoom_tiles_per_sec")}
 
     t_n, t_4n = tp(runs_n), tp(runs_4n)
     eff_tiles = (t_4n["tiles_per_sec"] / t_n["tiles_per_sec"]) / 4.0
@@ -89,6 +91,10 @@ def main():
                 t_n["poly_tiles_per_sec"]) / 4.0
     eff_ml = (t_4n["multilayer_tiles_per_sec"] /
               t_n["multilayer_tiles_per_sec"]) / 4.0
+    eff_cc = (t_4n["concave_tiles_per_sec"] /
+              t_n["concave_tiles_per_sec"]) / 4.0
+    eff_hz = (t_4n["highzoom_tiles_per_sec"] /
+              t_n["highzoom_tiles_per_sec"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # preserve manually-authored sections (join re-bench etc.) across
@@ -97,7 +103,8 @@ def main():
     preserved = ""
     if os.path.exists(out_path):
         old = open(out_path).read()
-        for marker in ("\n## Round 3:", "\n## Round 2:"):
+        for marker in ("\n## Round 5:", "\n## Round 4:",
+                       "\n## Round 3:", "\n## Round 2:"):
             idx = old.find(marker)
             if idx >= 0:
                 preserved = old[idx:]
@@ -124,11 +131,18 @@ host-contention noise documented below; all raw lines included).
 | joined rows/sec | {t_n['joined_rows_per_sec']} | {t_4n['joined_rows_per_sec']} | {eff_joins:.3f} |
 | polygon-pyramid tiles/sec | {t_n['poly_tiles_per_sec']} | {t_4n['poly_tiles_per_sec']} | {eff_poly:.3f} |
 | multilayer tiles/sec | {t_n['multilayer_tiles_per_sec']} | {t_4n['multilayer_tiles_per_sec']} | {eff_ml:.3f} |
+| concave-polygon tiles/sec | {t_n['concave_tiles_per_sec']} | {t_4n['concave_tiles_per_sec']} | {eff_cc:.3f} |
+| z0-z14 bbox tiles/sec | {t_n['highzoom_tiles_per_sec']} | {t_4n['highzoom_tiles_per_sec']} | {eff_hz:.3f} |
 
 North-rule target: >= 0.8 on the primary (tiles/sec) metric. The
 polygon-dense and 3-layer legs (round 4) exercise the S-H clip /
 quadtree slice / make_valid chain and the per-tile layer merge at the
-same two parallelism levels.
+same two parallelism levels; the concave-polygon and z0-z14 bbox legs
+(round 5) cover the irregular-ring batch lane and the high-zoom
+tiny-group regime. tools/pipeline_ceiling.py additionally runs the
+engine's own per-batch kernels as INDEPENDENT processes at the same two
+widths — the kernel-level prediction of this span is reported in the
+round-5 section below.
 
 ## Why N={n}: the sandbox's parallel ceiling
 
