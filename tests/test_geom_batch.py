@@ -290,6 +290,49 @@ class TestBatchParityFuzz:
         assert len(ref) > 50  # the fuzz actually exercises the lane
 
 
+class TestBatchParityMore:
+    def test_nondefault_epsilon(self):
+        # epsilon threads through the batch lane's RDP exactly
+        wob = [1, .4, .9, .6, .3]
+        recs = [rec(("Polygon", [ring(0, 0, 4e6, 18, wobble=wob)]),
+                    zoom=z, fid=z) for z in range(4)]
+        recs.append(rec(("LineString",
+                         [(k * 3e5, (k % 3) * 2e5) for k in range(12)]),
+                        zoom=2, fid=9))
+        for eps in (1, 4, 30):
+            ref, got = run_both(recs, epsilon=eps)
+            assert ref == got and len(ref) > 0, eps
+
+    def test_holes_through_multi_tile_slice(self):
+        # polygon with holes big enough to fan across tiles: exercises
+        # the boxed slice fallback + piece re-ingest with interior rings
+        ext = ring(0, 0, 9e6, 14, wobble=[1, .6, .85])
+        h1 = ring(-2e6, -2e6, 1.2e6, 6)
+        h2 = ring(3e6, 3e6, 8e5, 5)
+        for z in (2, 3, 4):
+            ref, got = run_both([rec(("Polygon", [ext, h1, h2]),
+                                     zoom=z)])
+            assert ref == got and len(ref) > 0, z
+
+    def test_closed_line_through_clip_fallback(self):
+        # a huge closed linestring that straddles the metatile border
+        # takes the boxed clip fallback as a LINE geometry
+        ps = ring(0, 0, 2.5e7, 10)
+        ref, got = run_both([rec(("LineString", ps), zoom=3)])
+        assert ref == got
+
+    def test_multipolygon_fan_with_member_far_away(self):
+        # MP whose members land in different tiles: slice keeps them
+        # together per tile piece; member death in a sub-branch
+        polys = [[ring(-6e6, -6e6, 2e6, 7)], [ring(6e6, 6e6, 2e6, 9)]]
+        ref, got = run_both([rec(("MultiPolygon", polys), zoom=2)])
+        assert ref == got and len(ref) > 0
+        # z4 metatile (0,0) is the NW quadrant — both members fall
+        # outside and clip away; parity on the empty result still holds
+        ref, got = run_both([rec(("MultiPolygon", polys), zoom=4)])
+        assert ref == got == []
+
+
 class TestWindOnlyRepairProperty:
     @pytest.mark.parametrize("seed", range(8))
     def test_dissolve_of_simple_ccw_ring_is_samestart_reversal(self, seed):
