@@ -36,7 +36,7 @@ from pyspark.sql.types import (
 from .config import Layers
 from .mercator import MERC_MAX, bbox_metatile_range, bbox_tile_range
 from .geom.wkb import wkb_to_geom, geom_to_wkb
-from .geom import mvt
+from .geom import mvt, ringbulk
 
 WORLD = 2.0 * MERC_MAX
 
@@ -609,8 +609,13 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
     codes/uniques: pd.factorize of the property column over these rows
     (codes -1 = NULL), or None when the layer has no property column.
     seg_starts: int64 array of group start offsets (first element 0).
+
+    kind="genpoly"/"genline": xs is the (xs, ys, ring_off, feat_off)
+    tuple from geom.ringbulk's parsers (ys unused); rows are whole
+    polygon/linestring features of arbitrary shape, framed by the
+    ragged writer which also returns exact per-feature frame lengths.
     """
-    n = len(xs)
+    n = (len(xs[3]) - 1) if kind in ("genpoly", "genline") else len(xs)
     nseg = len(seg_starts)
     seg_ends = np.append(seg_starts[1:], n)
     gid = np.zeros(n, dtype=np.int64)
@@ -670,6 +675,22 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
                 chunks.append(b)
             valtabs[g] = b"".join(chunks)
 
+    if kind in ("genpoly", "genline"):
+        res = ringbulk.bulk_frame_ragged_features(
+            *xs, 3 if kind == "genpoly" else 2, prop_tags)
+        if res is None:
+            return None
+        stream, rowlen = res
+        cum = np.concatenate(([0], np.cumsum(rowlen)))
+        parts = []
+        for g in range(nseg):
+            seg = stream[cum[seg_starts[g]]:cum[seg_ends[g]]]
+            if codes is not None and has_valid[g]:
+                parts.append(header + seg + keybytes + valtabs[g]
+                             + extbytes)
+            else:
+                parts.append(header + seg + extbytes)
+        return parts
     if kind == "point":
         stream = mvt.bulk_frame_point_features(xs, ys, prop_tags)
     elif kind == "line":
@@ -825,10 +846,20 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
             ln_ok = np.fromiter(
                 (_is_short_line_wkb(g) for g in geoms),
                 dtype=bool, count=n)
+            # family masks for the ragged bulk framer (any polygon /
+            # any linestring WKB — the general tier below the three
+            # fixed-width fast shapes)
+            fam = np.fromiter(
+                ((g[1] if (g is not None and len(g) >= 9 and g[0] == 1
+                           and g[2] == 0 and g[3] == 0 and g[4] == 0)
+                  else 0) for g in geoms), dtype=np.uint8, count=n)
+            gp_ok = (fam == 3) | (fam == 6)
+            gl_ok = (fam == 2) | (fam == 5)
             # per-batch value dictionaries for the vectorized paths
             fact = ({p: pd.factorize(pdf[p], use_na_sentinel=True)
                      for p in pvals}
-                    if (pt_ok.any() or rp_ok.any() or ln_ok.any())
+                    if (pt_ok.any() or rp_ok.any() or ln_ok.any()
+                        or gp_ok.any() or gl_ok.any())
                     else {})
 
             chg = np.empty(n, dtype=bool)
@@ -909,7 +940,9 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     # vectorized single-shape run: decode coords as one
                     # matrix, intern values in per-row visit order, frame
                     # via the byte-matrix path (falls back on width
-                    # overflow)
+                    # overflow); the ragged tier catches every polygon /
+                    # linestring the fixed-width shapes don't
+                    coords = ragged = None
                     if bool(pt_ok[s:e].all()):
                         coords, framer = (point_coords(s, e),
                                           mvt.bulk_frame_point_features)
@@ -920,13 +953,21 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     elif bool(ln_ok[s:e].all()):
                         coords, framer = (line_coords(s, e),
                                           mvt.bulk_frame_line_features)
-                    else:
-                        coords = None
-                    if coords is not None:
+                    elif bool(gp_ok[s:e].all()):
+                        ragged = (ringbulk.parse_poly_family(geoms[s:e]), 3)
+                    elif bool(gl_ok[s:e].all()):
+                        ragged = (ringbulk.parse_line_family(geoms[s:e]), 2)
+                    if coords is not None or (ragged is not None
+                                              and ragged[0] is not None):
                         seg_cols = [(p, t, fact[p][0][s:e], fact[p][1])
                                     for p, t in ptypes.items() if p in fact]
                         prop_tags = _bulk_point_tags(enc, seg_cols)
-                        framed = framer(*coords, prop_tags)
+                        if ragged is not None:
+                            res = ringbulk.bulk_frame_ragged_features(
+                                *ragged[0], ragged[1], prop_tags)
+                            framed = res[0] if res is not None else None
+                        else:
+                            framed = framer(*coords, prop_tags)
                 if framed is not None:
                     enc.add_framed_features(framed)
                     return
@@ -952,6 +993,10 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     mid_kind = "ring4"
                 elif bool(ln_ok[m0:m1].all()):
                     mid_kind = "line"
+                elif bool(gp_ok[m0:m1].all()):
+                    mid_kind = "genpoly"
+                elif bool(gl_ok[m0:m1].all()):
+                    mid_kind = "genline"
                 mid_ok = (mid_kind is not None
                           and bool((ly_codes[m0:m1]
                                     == ly_codes[m0]).all()))
@@ -964,21 +1009,28 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
                     mid_ok = len(ptl) <= 1
                 if mid_ok:
                     kcounts = None
+                    py = None
                     if mid_kind == "point":
                         px, py = point_coords(m0, m1)
                     elif mid_kind == "ring4":
                         px, py = ring4_coords(m0, m1)
-                    else:
+                    elif mid_kind == "line":
                         px, py, kcounts = line_coords(m0, m1)
+                    elif mid_kind == "genpoly":
+                        px = ringbulk.parse_poly_family(geoms[m0:m1])
+                    else:
+                        px = ringbulk.parse_line_family(geoms[m0:m1])
                     if ptl:
                         p, t = ptl[0]
                         codes, uniq = fact[p][0][m0:m1], fact[p][1]
                     else:
                         p = t = codes = uniq = None
                     seg_starts = (starts[1:-1] - m0).astype(np.int64)
-                    parts = _bulk_encode_point_groups(
-                        layer, p, t, px, py, codes, uniq, seg_starts,
-                        kind=mid_kind, counts=kcounts)
+                    parts = (None if px is None else
+                             _bulk_encode_point_groups(
+                                 layer, p, t, px, py, codes, uniq,
+                                 seg_starts, kind=mid_kind,
+                                 counts=kcounts))
                     if parts is not None:
                         handle_segment(int(starts[0]), m0)
                         flush()
