@@ -9,9 +9,9 @@ the ceilings":
 
 1. run the engine's actual per-batch kernels (the ragged geometry lane
    on a point workload and on a concave-polygon workload, the MVT
-   layer-encode + gzip+md5 tile assembly) as INDEPENDENT processes at
-   2 and 8 workers — no Spark, no JVM, pure machine behavior of this
-   exact code;
+   layer-encode, and the tile-frame+gzip+md5 assembly as its own
+   kernel) as INDEPENDENT processes at 2 and 8 workers — no Spark, no
+   JVM, pure machine behavior of this exact code;
 2. combine their per-kernel efficiencies with the pipeline's stage-time
    weights (from tools/profile_pyramid.py: scan+geometry / partial
    encode / assemble) into a harmonic prediction
@@ -123,11 +123,11 @@ _STATE = {}
 def _init(kind):
     # build per-process inputs once (mirrors an executor's working set)
     import pandas as pd  # noqa: F401
-    if kind in ("geom_points", "encode"):
+    if kind in ("geom_points", "encode", "assemble"):
         _STATE["pts"] = _point_batch()
     if kind == "geom_concave":
         _STATE["cc"] = _concave_batch()
-    if kind == "encode":
+    if kind in ("encode", "assemble"):
         from tileigi_spark.engine import geometry_stage  # noqa: F401
         from tileigi_spark.geom.batch import process_general
         pdf = _STATE["pts"]
@@ -135,6 +135,23 @@ def _init(kind):
         from tileigi_spark.engine import _points_fast_path
         _STATE["pieces"] = _points_fast_path(
             pdf, ["lang"], 32, 8)
+    if kind == "assemble":
+        # pre-encode each tile's layer message once; the kernel then
+        # measures ONLY the A2 work (tile frame + gzip + md5), the
+        # profile's third stage
+        from tileigi_spark.geom import mvt
+        from tileigi_spark.geom.wkb import wkb_to_geom
+        layers = []
+        for (z, x, y), grp in _STATE["pieces"].groupby(
+                ["zoom", "x", "y"], sort=True):
+            feats = []
+            for w in grp["geom"]:
+                typ, data = wkb_to_geom(bytes(w))
+                feats.append(((typ, (int(data[0]), int(data[1]))
+                               if typ == "Point" else data),
+                              {"lang": "en"}))
+            layers.append(mvt.encode_layer("pages", feats))
+        _STATE["layers"] = layers
 
 
 def _kernel_geom_points(_):
@@ -171,22 +188,39 @@ def _kernel_encode(_):
     return total
 
 
+def _kernel_assemble(_):
+    """Tile frame + gzip + md5 over pre-encoded layer messages — the
+    A2 stage alone (the engine's assemble walk after partial merge)."""
+    from tileigi_spark.geom import mvt
+    total = 0
+    for _rep in range(8):  # gzip per tile is cheap; ~1s/task
+        for lb in _STATE["layers"]:
+            tile = mvt.encode_tile([lb], compress=True)
+            total += len(hashlib.md5(tile).hexdigest())
+    return total
+
+
 _KERNELS = {
     "geom_points": _kernel_geom_points,
     "geom_concave": _kernel_geom_concave,
     "encode": _kernel_encode,
+    "assemble": _kernel_assemble,
 }
 
 
 def probe(kind, procs, reps=2):
     """Best-of-N wall time (this host's run-to-run noise is documented
-    at 2-6x; the best sample is the least-contended one)."""
+    at 2-6x; the best sample is the least-contended one). One warmup
+    task per worker forces the per-process _init (input synthesis —
+    up to ~1.7s, constant in wall time at any width) OUTSIDE the timed
+    window, so the measurement is the kernel alone."""
     best = None
     for _ in range(reps):
-        t0 = time.time()
         with mp.Pool(procs, initializer=_init, initargs=(kind,)) as p:
+            p.map(_KERNELS[kind], range(procs), chunksize=1)
+            t0 = time.time()
             p.map(_KERNELS[kind], range(TASKS))
-        dt = time.time() - t0
+            dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best
 
@@ -204,7 +238,7 @@ def main():
     a, b = (int(x) for x in args.procs.split(","))
 
     effs = {}
-    for kind in ("geom_points", "geom_concave", "encode"):
+    for kind in ("geom_points", "geom_concave", "encode", "assemble"):
         ta = probe(kind, a)
         tb = probe(kind, b)
         eff = (ta / tb) / (b / a)
@@ -214,10 +248,10 @@ def main():
 
     # geometry weight split evenly between the point lane (flagship) and
     # the batch lane (polygon legs); weights w = (geometry, encode,
-    # assemble) with assemble's gzip+md5 profile matching `encode`
+    # assemble)
     geom_eff = (effs["geom_points"] + effs["geom_concave"]) / 2
     pred = 1.0 / (w[0] / geom_eff + w[1] / effs["encode"]
-                  + w[2] / effs["encode"])
+                  + w[2] / effs["assemble"])
     print(f"weights geometry={w[0]} encode={w[1]} assemble={w[2]}")
     print(f"predicted pipeline eff {a}->{b}: {pred:.3f}")
     if args.measured is not None:
