@@ -1,0 +1,191 @@
+"""Engine scaling across INDEPENDENT executor JVMs (the north rule's
+own regime).
+
+The primary scaling table (BENCH/BASELINE.md) measures local[2] vs
+local[8] — N threads inside ONE shared JVM, a sandbox stand-in for "N
+vs 4N executors". tools/pipeline_ceiling.py showed the Python kernels
+scale 0.80-1.0 as independent processes, leaving a ~0.24 gap owned by
+the shared single-JVM layer. This tool closes the loop at the ENGINE
+level: it runs the whole flagship pyramid — Spark, shuffles, Arrow,
+everything — as N completely independent single-core Spark JVMs, each
+rendering one longitude strip of the SAME staged input (a real
+cluster's executor fleet with a perfect spatial partitioner), at N and
+4N processes, barrier-synchronized, and reports tiles/sec at both
+widths plus the scaling efficiency.
+
+Sharding is exact: strip bboxes restrict generation (the engine's own
+bbox path — the feature prefilter pads by the clip-buffer slack, so
+strip-interior tiles are byte-identical to a full run), and each
+process COUNTS only tiles it owns under `(x * N) div 2^zoom = i`, a
+partition of every zoom's x-axis — so the summed tile count equals the
+single-run pyramid's count and no boundary tile is double-counted
+(low-zoom tiles that two strips both render are counted once; the
+duplicated render work is a handful of near-empty thinned tiles).
+
+Usage:
+  python tools/bench_executors.py [--procs 2,8] [--replicas 9600]
+      [--reps 2] [--maxzoom 10] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _flagship_layers(maxzoom_global: int = 14):
+    from tileigi_spark.config import Layer, Layers
+    thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({maxzoom_global}"
+            f" - zoom))) = 0")
+    return Layers(layers=[Layer(id="pages", source="pages", minzoom=0,
+                                maxzoom=14, buffer=2, zoom_filter=thin)],
+                  global_maxzoom=maxzoom_global)
+
+
+def worker(args):
+    """One executor JVM: local[1], one longitude strip, barrier start."""
+    from pyspark.sql import SparkSession, functions as F
+
+    i, w = args.worker, args.nprocs
+    spark = (SparkSession.builder.master("local[1]")
+             .appName(f"tileigi-exec-{i}of{w}")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+             .config("spark.sql.files.maxPartitionBytes", "16m")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import bench
+    from tileigi_spark.engine import build_tiles
+
+    geo = spark.read.parquet(args.geo)
+    feats = bench.pages_to_features(geo)
+    layers = _flagship_layers()
+    lon0 = -180.0 + i * 360.0 / w
+    lon1 = -180.0 + (i + 1) * 360.0 / w
+    strip = (lon0, -90.0, lon1, 90.0)
+    owned = F.expr(f"(x * {w}) div shiftleft(1L, zoom) = {i}")
+
+    # warm: JVM JIT + python workers + plan machinery, outside the
+    # timed window (z0-3 on the strip is a few hundred thinned rows)
+    build_tiles(spark, {"pages": feats}, layers, 0, 3,
+                shuffle_parts=8, bbox=strip).filter(owned).count()
+
+    sync = args.sync
+    open(os.path.join(sync, f"ready_{i}"), "w").close()
+    go = os.path.join(sync, "go")
+    while not os.path.exists(go):
+        time.sleep(0.05)
+
+    t0 = time.time()
+    tiles = build_tiles(spark, {"pages": feats}, layers, 0, args.maxzoom,
+                        shuffle_parts=8, bbox=strip)
+    n = tiles.filter(owned).count()
+    t1 = time.time()
+    with open(os.path.join(sync, f"done_{i}"), "w") as f:
+        json.dump({"i": i, "n_tiles": n, "t0": t0, "t1": t1}, f)
+    spark.stop()
+
+
+def run_width(w: int, geo: str, maxzoom: int) -> dict:
+    sync = tempfile.mkdtemp(prefix=f"tileigi_exec_sync_{w}_")
+    procs = []
+    for i in range(w):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+             "--nprocs", str(w), "--geo", geo, "--maxzoom", str(maxzoom),
+             "--sync", sync],
+            cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    deadline = time.time() + 600
+    while (sum(os.path.exists(os.path.join(sync, f"ready_{i}"))
+               for i in range(w)) < w):
+        if time.time() > deadline or any(p.poll() not in (None, 0)
+                                         for p in procs):
+            for p in procs:
+                p.kill()
+            raise RuntimeError(f"width {w}: worker died before barrier")
+        time.sleep(0.1)
+    t_go = time.time()
+    open(os.path.join(sync, "go"), "w").close()
+    for p in procs:
+        p.wait(timeout=3600)
+    results = []
+    for i in range(w):
+        with open(os.path.join(sync, f"done_{i}")) as f:
+            results.append(json.load(f))
+    wall = max(r["t1"] for r in results) - t_go
+    n_total = sum(r["n_tiles"] for r in results)
+    return {"nprocs": w, "wall_s": round(wall, 2), "n_tiles": n_total,
+            "tiles_per_sec": round(n_total / wall, 2),
+            "per_worker_secs": [round(r["t1"] - r["t0"], 2)
+                                for r in results]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", default="2,8")
+    ap.add_argument("--replicas", type=int, default=9600)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--maxzoom", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--geo", default=None,
+                    help="reuse an already-staged geo parquet dir")
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--nprocs", type=int, default=None)
+    ap.add_argument("--sync", default=None)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        worker(args)
+        return
+
+    widths = [int(x) for x in args.procs.split(",")]
+    geo = args.geo
+    if geo is None:
+        # stage the geotagged page set once at full width; every
+        # executor fleet reads the same files
+        import bench
+        from tileigi_spark.extract import geotag_pages
+        spark = bench.make_spark(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        geo = tempfile.mkdtemp(prefix="tileigi_exec_geo_") + "/geo"
+        t0 = time.time()
+        pages = bench.synth_pages(spark, args.sf, args.replicas)
+        geotag_pages(pages).write.mode("overwrite").parquet(geo)
+        print(f"staged geo ({args.replicas} replicas) in "
+              f"{time.time() - t0:.1f}s -> {geo}", flush=True)
+        spark.stop()
+
+    legs = []
+    for rep in range(args.reps):
+        for w in widths:
+            leg = run_width(w, geo, args.maxzoom)
+            leg["rep"] = rep
+            legs.append(leg)
+            print(json.dumps(leg), flush=True)
+
+    best = {w: max(r["tiles_per_sec"] for r in legs if r["nprocs"] == w)
+            for w in widths}
+    summary = {"metric": "executor-process scaling (independent local[1] "
+                         "JVMs, longitude-strip shards)",
+               "replicas": args.replicas, "maxzoom": args.maxzoom,
+               "best_tiles_per_sec": best}
+    for a, b in zip(widths, widths[1:]):
+        summary[f"eff_{a}to{b}"] = round(best[b] / best[a] / (b / a), 3)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
