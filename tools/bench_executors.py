@@ -9,22 +9,24 @@ the shared single-JVM layer. This tool closes the loop at the ENGINE
 level: it runs the whole flagship pyramid — Spark, shuffles, Arrow,
 everything — as N completely independent single-core Spark JVMs, each
 rendering one longitude strip of the SAME staged input (a real
-cluster's executor fleet with a perfect spatial partitioner), at N and
-4N processes, barrier-synchronized, and reports tiles/sec at both
-widths plus the scaling efficiency.
+cluster's executor fleet with a spatial partitioner), at N and 4N
+processes, barrier-synchronized, and reports tiles/sec at both widths
+plus the scaling efficiency.
 
-Sharding is exact: strip bboxes restrict generation (the engine's own
-bbox path — the feature prefilter pads by the clip-buffer slack, so
-strip-interior tiles are byte-identical to a full run), and each
-process COUNTS only tiles it owns under `(x * N) div 2^zoom = i`, a
-partition of every zoom's x-axis — so the summed tile count equals the
-single-run pyramid's count and no boundary tile is double-counted
-(low-zoom tiles that two strips both render are counted once; the
-duplicated render work is a handful of near-empty thinned tiles).
+Input is staged strip-partitioned per width (README "Scale design":
+partition pruning works when the feature table is partitioned/bucketed
+by coarse cell — real 100 TB inputs arrive this way), with rows within
+the engine's own clip-buffer slack of a strip boundary duplicated into
+the neighbor shard so strip tiles stay byte-faithful; each executor
+reads ONLY its shard. Sharding is exact on output: each process COUNTS
+only tiles it owns under `(x * N) div 2^zoom = i`, a partition of
+every zoom's x-axis, so the summed count equals the single-run
+pyramid's count and no boundary tile is double-counted.
 
 Usage:
   python tools/bench_executors.py [--procs 2,8] [--replicas 9600]
       [--reps 2] [--maxzoom 10] [--sf /root/testdata/sf0.1]
+      [--geo DIR]   # reuse an already-staged (unsharded) geo parquet
 """
 
 from __future__ import annotations
@@ -40,19 +42,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUFFER_PX = 2
 
 
-def _flagship_layers(maxzoom_global: int = 14):
+def _flagship_layers(pyramid_maxzoom: int):
+    """The bench flagship layer verbatim (bench.py main): low-zoom
+    thinning keyed to the PYRAMID depth (z = maxzoom keeps every
+    feature), layer/global maxzoom 14."""
     from tileigi_spark.config import Layer, Layers
-    thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({maxzoom_global}"
+    thin = (f"pmod(abs(feature_id), shiftleft(1, 2 * ({pyramid_maxzoom}"
             f" - zoom))) = 0")
     return Layers(layers=[Layer(id="pages", source="pages", minzoom=0,
                                 maxzoom=14, buffer=2, zoom_filter=thin)],
-                  global_maxzoom=maxzoom_global)
+                  global_maxzoom=14)
+
+
+def _slack() -> float:
+    # cover_metatiles' widest feature-prefilter slack (min zoom 0)
+    from tileigi_spark.engine import WORLD
+    return (WORLD / 1) * ((BUFFER_PX * 16 + 1) / 4096.0)
 
 
 def worker(args):
-    """One executor JVM: local[1], one longitude strip, barrier start."""
+    """One executor JVM: local[1], one longitude-strip shard, barrier
+    start."""
     from pyspark.sql import SparkSession, functions as F
 
     i, w = args.worker, args.nprocs
@@ -70,9 +83,9 @@ def worker(args):
     import bench
     from tileigi_spark.engine import build_tiles
 
-    geo = spark.read.parquet(args.geo)
+    geo = spark.read.parquet(os.path.join(args.geo, f"strip={i}"))
     feats = bench.pages_to_features(geo)
-    layers = _flagship_layers()
+    layers = _flagship_layers(args.maxzoom)
     lon0 = -180.0 + i * 360.0 / w
     lon1 = -180.0 + (i + 1) * 360.0 / w
     strip = (lon0, -90.0, lon1, 90.0)
@@ -92,20 +105,54 @@ def worker(args):
     t0 = time.time()
     tiles = build_tiles(spark, {"pages": feats}, layers, 0, args.maxzoom,
                         shuffle_parts=8, bbox=strip)
-    n = tiles.filter(owned).count()
+    per_zoom = {int(r["zoom"]): int(r["n"]) for r in
+                (tiles.filter(owned).groupBy("zoom")
+                 .agg(F.count("*").alias("n")).collect())}
     t1 = time.time()
     with open(os.path.join(sync, f"done_{i}"), "w") as f:
-        json.dump({"i": i, "n_tiles": n, "t0": t0, "t1": t1}, f)
+        json.dump({"i": i, "n_tiles": sum(per_zoom.values()),
+                   "per_zoom": per_zoom, "t0": t0, "t1": t1}, f)
     spark.stop()
 
 
-def run_width(w: int, geo: str, maxzoom: int) -> dict:
+def shard_input(geo: str, w: int) -> str:
+    """Strip-partition the staged geo for a width-w fleet; rows within
+    the clip-buffer slack of a boundary are duplicated into the
+    neighbor shard (strip tiles stay byte-faithful to a full run)."""
+    import bench
+    from pyspark.sql import functions as F
+    from tileigi_spark.engine import WORLD
+    from tileigi_spark.mercator import MERC_MAX
+
+    out = tempfile.mkdtemp(prefix=f"tileigi_exec_shard_{w}_") + "/geo"
+    spark = bench.make_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    geo_df = spark.read.parquet(geo)
+    width = WORLD / w
+    slack = _slack()
+    base = F.floor((F.col("mx") + F.lit(MERC_MAX)) / F.lit(width))
+    cand = F.explode(F.array(base - 1, base, base + 1)).alias("strip")
+    left = F.lit(-MERC_MAX) + F.col("strip") * F.lit(width)
+    t0 = time.time()
+    (geo_df.select("*", cand)
+     .filter((F.col("strip") >= 0) & (F.col("strip") < w)
+             & (F.col("mx") >= left - F.lit(slack))
+             & (F.col("mx") <= left + F.lit(width) + F.lit(slack)))
+     .write.mode("overwrite").partitionBy("strip").parquet(out))
+    n = spark.read.parquet(out).count()
+    print(f"sharded w={w} in {time.time() - t0:.1f}s -> {out} "
+          f"(rows {n}, overlap dup included)", flush=True)
+    spark.stop()
+    return out
+
+
+def run_width(w: int, shard: str, maxzoom: int) -> dict:
     sync = tempfile.mkdtemp(prefix=f"tileigi_exec_sync_{w}_")
     procs = []
     for i in range(w):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-             "--nprocs", str(w), "--geo", geo, "--maxzoom", str(maxzoom),
+             "--nprocs", str(w), "--geo", shard, "--maxzoom", str(maxzoom),
              "--sync", sync],
             cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
     deadline = time.time() + 600
@@ -127,8 +174,13 @@ def run_width(w: int, geo: str, maxzoom: int) -> dict:
             results.append(json.load(f))
     wall = max(r["t1"] for r in results) - t_go
     n_total = sum(r["n_tiles"] for r in results)
+    per_zoom: dict[int, int] = {}
+    for r in results:
+        for z, n in r["per_zoom"].items():
+            per_zoom[int(z)] = per_zoom.get(int(z), 0) + n
     return {"nprocs": w, "wall_s": round(wall, 2), "n_tiles": n_total,
             "tiles_per_sec": round(n_total / wall, 2),
+            "per_zoom": dict(sorted(per_zoom.items())),
             "per_worker_secs": [round(r["t1"] - r["t0"], 2)
                                 for r in results]}
 
@@ -141,7 +193,7 @@ def main():
     ap.add_argument("--maxzoom", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--geo", default=None,
-                    help="reuse an already-staged geo parquet dir")
+                    help="reuse an already-staged (unsharded) geo dir")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--sync", default=None)
@@ -154,8 +206,7 @@ def main():
     widths = [int(x) for x in args.procs.split(",")]
     geo = args.geo
     if geo is None:
-        # stage the geotagged page set once at full width; every
-        # executor fleet reads the same files
+        # stage the geotagged page set once at full width
         import bench
         from tileigi_spark.extract import geotag_pages
         spark = bench.make_spark(32)
@@ -168,10 +219,12 @@ def main():
               f"{time.time() - t0:.1f}s -> {geo}", flush=True)
         spark.stop()
 
+    shards = {w: shard_input(geo, w) for w in widths}
+
     legs = []
     for rep in range(args.reps):
         for w in widths:
-            leg = run_width(w, geo, args.maxzoom)
+            leg = run_width(w, shards[w], args.maxzoom)
             leg["rep"] = rep
             legs.append(leg)
             print(json.dumps(leg), flush=True)
@@ -179,7 +232,7 @@ def main():
     best = {w: max(r["tiles_per_sec"] for r in legs if r["nprocs"] == w)
             for w in widths}
     summary = {"metric": "executor-process scaling (independent local[1] "
-                         "JVMs, longitude-strip shards)",
+                         "JVMs, strip-partitioned shards)",
                "replicas": args.replicas, "maxzoom": args.maxzoom,
                "best_tiles_per_sec": best}
     for a, b in zip(widths, widths[1:]):
