@@ -63,3 +63,67 @@ def test_build_tiles_empty_zoom(spark):
     assert tiles.count() == 0
     assert [f.name for f in tiles.schema.fields] == \
         ["zoom", "x", "y", "tile", "tile_md5"]
+
+
+def _two_far_points(spark):
+    from tileigi_spark.geom.wkb import geom_to_wkb
+    from tileigi_spark.mercator import lonlat_to_merc
+
+    rows = []
+    for i, (lon, lat) in enumerate([(20.0, 20.0), (-150.0, -40.0)]):
+        mx, my = lonlat_to_merc(lon, lat)
+        rows.append((i, bytearray(geom_to_wkb(("Point", (mx, my)))),
+                     f"p{i}"))
+    return spark.createDataFrame(rows,
+                                 "feature_id long, way binary, name string")
+
+
+def test_bbox_lowzoom_tile_has_world_content(spark):
+    """An in-range tile renders its FULL extent: the reference iterates
+    the bbox's metatiles and each renders its own padded query bbox
+    (lib.rs:186-220 + 543-544), so a z0 tile selected by a city bbox
+    still contains the whole world's features. Regression: the feature
+    prefilter used to pad the raw bbox instead of the metatile-aligned
+    extent, silently dropping far features from low-zoom tiles."""
+    import gzip
+
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles
+    from tileigi_spark.geom.mvt import decode_tile
+
+    df = _two_far_points(spark)
+    layers = Layers(layers=[Layer(id="l", source="s", minzoom=0,
+                                  maxzoom=14, buffer=2)],
+                    global_maxzoom=14)
+
+    def tile_features(bbox):
+        rows = build_tiles(spark, {"s": df}, layers, 0, 0,
+                           bbox=bbox).collect()
+        assert len(rows) == 1
+        layers_dec = decode_tile(bytes(rows[0]["tile"]))
+        return sum(len(l["features"]) for l in layers_dec)
+
+    assert tile_features(None) == 2
+    # bbox around only the first point: the z0 tile must be identical
+    assert tile_features((10.0, 10.0, 30.0, 30.0)) == 2
+
+
+def test_bbox_deep_minzoom_still_prunes(spark):
+    """With minzoom deep enough that the aligned extent is small, the
+    prefilter stays a real scan pruner: a z8-only bbox render around one
+    point excludes the antipodal one."""
+    import gzip
+
+    from tileigi_spark.config import Layer, Layers
+    from tileigi_spark.engine import build_tiles
+    from tileigi_spark.geom.mvt import decode_tile
+
+    df = _two_far_points(spark)
+    layers = Layers(layers=[Layer(id="l", source="s", minzoom=0,
+                                  maxzoom=14, buffer=2)],
+                    global_maxzoom=14)
+    rows = build_tiles(spark, {"s": df}, layers, 8, 8,
+                       bbox=(19.0, 19.0, 21.0, 21.0)).collect()
+    feats = sum(len(l["features"]) for r in rows
+                for l in decode_tile(bytes(r["tile"])))
+    assert feats == 1

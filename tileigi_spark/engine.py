@@ -187,14 +187,31 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
     — a planet scan with a city bbox prunes at the source), then the exact
     integer metatile-range filter after."""
     if bbox_merc is not None:
+        # In-range tiles are rendered with their FULL extent (the
+        # reference iterates the bbox's metatiles and each renders its
+        # own padded query bbox, lib.rs:186-220 + 543-544) — so the
+        # feature prefilter must pad the metatile-ALIGNED extent of the
+        # bbox at the minimum zoom, not the raw bbox: a z0 tile inside a
+        # city bbox still contains the whole world's features. At minzoom
+        # 0 the aligned extent IS the world (no scan pruning possible —
+        # semantically required); a z8+ re-render prunes tightly. The
+        # per-zoom integer metatile-range filter below stays the exact
+        # tile restriction.
+        minz = min(zooms)
+        mtx0, mty0, mtx1, mty1 = bbox_metatile_range(bbox_merc, minz,
+                                                     metatile_scale)
+        span = WORLD * min(metatile_scale, 1 << minz) / float(1 << minz)
+        ax0 = -MERC_MAX + mtx0 * span
+        ax1 = -MERC_MAX + (mtx1 + 1) * span
+        ay0 = MERC_MAX - (mty1 + 1) * span
+        ay1 = MERC_MAX - mty0 * span
         # widest clip-buffer slack across zooms (largest at min zoom)
-        slack = (WORLD / (1 << min(zooms))) * ((buffer_px * 16 + 1) / 4096.0)
-        bminx, bminy, bmaxx, bmaxy = bbox_merc
+        slack = (WORLD / (1 << minz)) * ((buffer_px * 16 + 1) / 4096.0)
         feats = feats.filter(
-            (F.col("xmax") >= F.lit(bminx - slack))
-            & (F.col("xmin") <= F.lit(bmaxx + slack))
-            & (F.col("ymax") >= F.lit(bminy - slack))
-            & (F.col("ymin") <= F.lit(bmaxy + slack)))
+            (F.col("xmax") >= F.lit(ax0 - slack))
+            & (F.col("xmin") <= F.lit(ax1 + slack))
+            & (F.col("ymax") >= F.lit(ay0 - slack))
+            & (F.col("ymin") <= F.lit(ay1 + slack)))
     df = feats.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
     if zoom_filter:
         df = df.filter(F.expr(zoom_filter))
