@@ -215,6 +215,30 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
     df = feats.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zooms])))
     if zoom_filter:
         df = df.filter(F.expr(zoom_filter))
+    if bbox_merc is not None:
+        # Per-zoom aligned-extent prune right after the zoom explode:
+        # implied by the exact metatile-range filter below (a feature
+        # outside the in-range metatiles' padded extent at zoom z can
+        # only cover out-of-range metatiles at z), so this is pure early
+        # pruning — it cuts the sequence/explode work for deep zooms
+        # where the scan-level filter above had to stay world-wide.
+        cond = None
+        for z in zooms:
+            zx0, zy0, zx1, zy1 = bbox_metatile_range(bbox_merc, z,
+                                                     metatile_scale)
+            span_z = WORLD * min(metatile_scale, 1 << z) / float(1 << z)
+            pad_z = (WORLD / (1 << z)) * ((buffer_px * 16 + 1) / 4096.0)
+            c = ((F.col("zoom") == z)
+                 & (F.col("xmax") >= F.lit(-MERC_MAX + zx0 * span_z
+                                           - pad_z))
+                 & (F.col("xmin") <= F.lit(-MERC_MAX + (zx1 + 1) * span_z
+                                           + pad_z))
+                 & (F.col("ymax") >= F.lit(MERC_MAX - (zy1 + 1) * span_z
+                                           - pad_z))
+                 & (F.col("ymin") <= F.lit(MERC_MAX - zy0 * span_z
+                                           + pad_z)))
+            cond = c if cond is None else cond | c
+        df = df.filter(cond)
     two_z_l = F.expr("shiftleft(1L, zoom)")
     two_z = two_z_l.cast("double")
     size_mt = F.least(F.lit(metatile_scale).cast("long"), two_z_l)
