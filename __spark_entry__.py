@@ -1181,6 +1181,97 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------- cell layout
+
+_CELL_Z = 3
+_CELL_N = 1 << _CELL_Z
+_CELL_SPAN = WORLD / _CELL_N
+_CELL_SLACK = _CELL_SPAN * ((2 * 16 + 1) / 4096.0)  # cell_slack(3, 2)
+_CELL_GROW = 1.5 * _CELL_SPAN                       # feature box max size
+_CELL_BBOX = (-MERC + 1.3 * _CELL_SPAN, -MERC + 2.1 * _CELL_SPAN,
+              -MERC + 4.6 * _CELL_SPAN, -MERC + 5.2 * _CELL_SPAN)
+
+
+def _q_cell_read(spark, sf_dir):
+    """Cell-partitioned 100-TB feature-table layout (partition.py): stage
+    a supplier-derived box table partitionBy(cell_x, cell_y) with the
+    boundary-slack copy fan, read a bbox rectangle back, and emit each
+    surviving feature with its surviving copy's cell. The oracle replays
+    the write-side cell fan and the greatest(origin, rect-min) survivor
+    rule in SQL — proving the read is exactly-once with the right copy,
+    against an independent engine."""
+    import tempfile
+
+    from tileigi_spark.partition import (read_cell_partitioned,
+                                         write_cell_partitioned)
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    mxf = ((F.col("s_suppkey") * 1151) % 100000).cast("double") / 100000.0
+    myf = ((F.col("s_suppkey") * 70001) % 100000).cast("double") / 100000.0
+    wf = ((F.col("s_suppkey") * 73) % 1000).cast("double") / 1000.0
+    hf = ((F.col("s_suppkey") * 37) % 1000).cast("double") / 1000.0
+    xmin = (mxf - 0.5) * WORLD
+    ymin = (myf - 0.5) * (WORLD * 0.9)
+    feats = sup.select(
+        F.col("s_suppkey").cast("long").alias("feature_id"),
+        xmin.alias("xmin"), ymin.alias("ymin"),
+        (xmin + wf * _CELL_GROW).alias("xmax"),
+        (ymin + hf * _CELL_GROW).alias("ymax"))
+    path = os.path.join(tempfile.mkdtemp(prefix="tileigi_cells_"), "t")
+    write_cell_partitioned(feats, path, cell_zoom=_CELL_Z, buffer_px=2)
+    got = read_cell_partitioned(spark, path, bbox_merc=_CELL_BBOX,
+                                keep_cells=True)
+    return (got.select("feature_id",
+                       F.col("cell_x").cast("int").alias("cell_x"),
+                       F.col("cell_y").cast("int").alias("cell_y"))
+            .orderBy("feature_id"))
+
+
+def _cell_read_sql() -> str:
+    from tileigi_spark.partition import read_rect
+
+    rx0, ry0, rx1, ry1 = read_rect(_CELL_BBOX, _CELL_Z)
+    slack, span, grow = (repr(_CELL_SLACK), repr(_CELL_SPAN),
+                         repr(_CELL_GROW))
+    hi = _CELL_N - 1
+    return f"""
+WITH boxes AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS feature_id,
+    (CAST((s_suppkey * 1151) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+      * {_R_WORLD} AS xmin,
+    (CAST((s_suppkey * 70001) % 100000 AS DOUBLE) / 100000.0 - 0.5)
+      * ({_R_WORLD} * 0.9) AS ymin,
+    CAST((s_suppkey * 73) % 1000 AS DOUBLE) / 1000.0 AS wf,
+    CAST((s_suppkey * 37) % 1000 AS DOUBLE) / 1000.0 AS hf
+  FROM supplier
+),
+rects AS (
+  SELECT feature_id, xmin, ymin,
+         xmin + wf * {grow} AS xmax,
+         ymin + hf * {grow} AS ymax
+  FROM boxes
+),
+cells AS (
+  SELECT feature_id,
+    GREATEST(0, LEAST(CAST(FLOOR((xmin - {slack} + {_R_MERC}) / {span})
+                           AS INTEGER), {hi})) AS cx0,
+    GREATEST(0, LEAST(CAST(FLOOR((xmax + {slack} + {_R_MERC}) / {span})
+                           AS INTEGER), {hi})) AS cx1,
+    GREATEST(0, LEAST(CAST(FLOOR(({_R_MERC} - (ymax + {slack})) / {span})
+                           AS INTEGER), {hi})) AS cy0,
+    GREATEST(0, LEAST(CAST(FLOOR(({_R_MERC} - (ymin - {slack})) / {span})
+                           AS INTEGER), {hi})) AS cy1
+  FROM rects
+)
+SELECT feature_id,
+       GREATEST(cx0, {rx0}) AS cell_x,
+       GREATEST(cy0, {ry0}) AS cell_y
+FROM cells
+WHERE cx1 >= {rx0} AND cx0 <= {rx1} AND cy1 >= {ry0} AND cy0 <= {ry1}
+ORDER BY feature_id
+"""
+
+
 # ------------------------------------------------------------ entrypoints
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1215,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_pieces_z2": _q_poly_pieces,
         "mvt_pyramid": _q_tiles,
         "multimodal_features": _q_multimodal,
+        "cell_read": _q_cell_read,
     }
 
 
@@ -1247,4 +1339,5 @@ def oracle_sql() -> dict[str, str]:
         # facts and those are oracled; bytes stay pinned by golden-byte
         # pytest fixtures at two parallelism levels
         "mvt_pyramid": _MVT_PYRAMID_SQL,
+        "cell_read": _cell_read_sql(),
     }

@@ -91,12 +91,6 @@ def main(argv=None):
              .getOrCreate())
 
     layers = layers_from_file(args.config)
-    sources = {}
-    for s in args.source:
-        if "=" not in s:
-            p.error(f"--source must be NAME=PATH, got {s!r}")
-        name, path = s.split("=", 1)
-        sources[name] = spark.read.parquet(path)
 
     # Generation is restricted ONLY by an explicit --bbox; config-level
     # `bounds` feeds TileJSON metadata, never the render extent — matching
@@ -118,6 +112,27 @@ def main(argv=None):
             tile_list = parse_tile_list(args.tile_list, args.metatile_scale)
         except (OSError, ValueError) as e:
             p.error(str(e))
+
+    # Source tables. A cell-partitioned layout (partition.py sidecar)
+    # MUST go through its exactly-once reader — a raw parquet read would
+    # double-count the boundary-duplicated copies; it also gives the
+    # bbox render partition pruning at the scan.
+    from .mercator import bbox_lonlat_to_merc
+    from .partition import is_cell_partitioned, read_cell_partitioned
+
+    sources = {}
+    for s in args.source:
+        if "=" not in s:
+            p.error(f"--source must be NAME=PATH, got {s!r}")
+        name, path = s.split("=", 1)
+        if is_cell_partitioned(spark, path):
+            sources[name] = read_cell_partitioned(
+                spark, path,
+                bbox_merc=(bbox_lonlat_to_merc(bbox)
+                           if bbox is not None else None),
+                minzoom=args.minzoom)
+        else:
+            sources[name] = spark.read.parquet(path)
 
     store = TileStore(args.dest)
     if tile_list is not None:

@@ -1,0 +1,240 @@
+"""Cell-partitioned feature-table layout — the on-disk shape a 100-TB
+feature table arrives in (README "Scale design": partition pruning works
+when the feature table is partitioned/bucketed by coarse cell).
+
+The layout is a parquet table `partitionBy(cell_x, cell_y)` on the
+Web-Mercator grid at a fixed `cell_zoom` (the analog of an H3
+resolution, matching `index.py`'s grid cells). Each feature is written
+into EVERY cell its clip-slack-expanded bbox covers — the slack is the
+engine's own feature-prefilter pad at `cell_zoom`
+(engine.cover_metatiles), so a per-cell shard is render-complete: tiles
+at zoom >= cell_zoom that lie inside the cell are byte-identical
+whether rendered from the shard alone or from the full table
+(tools/bench_executors.py measures exactly this regime at fleet scale).
+
+Reading the table back is exactly-once by pure codegen arithmetic, no
+shuffle and no HOFs: every copy carries the origin `(cell_x0, cell_y0)`
+of its covered-cell rectangle, and for any rectangular read
+[rx0..rx1]x[ry0..ry1] the unique surviving copy is the one at
+`(greatest(cell_x0, rx0), greatest(cell_y0, ry0))` — the minimum cell
+of the (non-empty) intersection of the copy rectangle with the read
+rectangle. A full-table read keeps the origin copy; a bbox read keeps
+one copy per feature while parquet partition discovery prunes every
+directory outside the rectangle (BETWEEN predicates on the two
+partition columns).
+
+Render contract: `read_cell_partitioned(path, bbox_merc, minzoom=z)`
+returns every feature needed for EXACT tile content at zooms >= z for
+tiles intersecting the bbox (tile ranges nest upward, so the shallowest
+rendered zoom decides the cell rectangle; minzoom < cell_zoom widens
+the read up to the full table — low-zoom tiles genuinely need
+world-wide features, see engine.cover_metatiles' aligned-extent
+prefilter). `read_cell_shard` returns one cell's copies wholesale for
+executor-local rendering of that cell's own tiles.
+
+No reference counterpart (the reference reads PostGIS); this module is
+the scale path named in SURVEY.md §6 / README "Scale design".
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .mercator import MERC_MAX, bbox_tile_range
+
+WORLD = 2.0 * MERC_MAX
+META_FILE = "_tileigi_cells.json"
+_HELPER_COLS = ("cell_x", "cell_y", "cell_x0", "cell_y0")
+
+
+def cell_slack(cell_zoom: int, buffer_px: int) -> float:
+    """The engine's feature-prefilter pad at cell_zoom (mercator units):
+    clip-buffer plus one tile unit of rounding slack, exactly
+    engine.cover_metatiles' formula."""
+    return (WORLD / (1 << cell_zoom)) * ((buffer_px * 16 + 1) / 4096.0)
+
+
+def cell_bbox_merc(cell_x: int, cell_y: int, cell_zoom: int) -> tuple:
+    """(minx, miny, maxx, maxy) mercator bounds of one cell."""
+    span = WORLD / (1 << cell_zoom)
+    return (-MERC_MAX + cell_x * span, MERC_MAX - (cell_y + 1) * span,
+            -MERC_MAX + (cell_x + 1) * span, MERC_MAX - cell_y * span)
+
+
+def read_rect(bbox_merc: Optional[tuple], cell_zoom: int,
+              minzoom: Optional[int] = None,
+              buffer_px: int = 2) -> tuple:
+    """Inclusive cell rectangle (rx0, ry0, rx1, ry1) whose shards hold
+    every feature needed for exact tile content at zooms >= minzoom for
+    tiles intersecting bbox_merc. None bbox -> the whole grid.
+
+    Tiles intersecting the bbox at the shallowest rendered zoom bound
+    every deeper zoom's tile range (grid nesting), so the rectangle is
+    the bbox's tile range at max(minzoom, cell_zoom) mapped to cell
+    indices — there the write-side duplication slack (cell_slack at
+    cell_zoom) covers every rendered zoom's clip-buffer need, because
+    slack shrinks with zoom. minzoom below cell_zoom widens cell-by-cell
+    toward the full grid (a z0 tile needs the world) AND pads by the
+    slack deficit: a zoom-m tile needs features within cell_slack(m) of
+    its extent, duplication only grants cell_slack(cell_zoom), so the
+    difference is made up in whole extra cells."""
+    n = 1 << cell_zoom
+    if bbox_merc is None:
+        return (0, 0, n - 1, n - 1)
+    z = cell_zoom if minzoom is None else max(minzoom, cell_zoom)
+    x0, y0, x1, y1 = bbox_tile_range(bbox_merc, z)
+    s = z - cell_zoom
+    rect = (x0 >> s, y0 >> s, x1 >> s, y1 >> s)
+    if minzoom is not None and minzoom < cell_zoom:
+        # widen to the cells covered by the tile range at minzoom, plus
+        # the buffer-slack deficit vs the write-side duplication
+        tx0, ty0, tx1, ty1 = bbox_tile_range(bbox_merc, minzoom)
+        w = cell_zoom - minzoom
+        span = WORLD / n
+        pad = int(math.ceil(max(0.0, cell_slack(minzoom, buffer_px)
+                                - cell_slack(cell_zoom, buffer_px))
+                            / span))
+        rect = (max(0, (tx0 << w) - pad), max(0, (ty0 << w) - pad),
+                min(n - 1, ((tx1 + 1) << w) - 1 + pad),
+                min(n - 1, ((ty1 + 1) << w) - 1 + pad))
+    return rect
+
+
+def write_cell_partitioned(df: DataFrame, path: str, cell_zoom: int = 6,
+                           buffer_px: int = 2,
+                           max_cells_per_feature: Optional[int] = None,
+                           mode: str = "overwrite") -> None:
+    """Write features cell-partitioned. df needs xmin/ymin/xmax/ymax
+    bbox columns (engine.with_bbox adds them from WKB in one Arrow
+    pass); rows within the clip slack of a cell border are duplicated
+    into each covered neighbor so every shard is render-complete for
+    its own tiles at zoom >= cell_zoom.
+
+    max_cells_per_feature, when set, fails the write (executor-side,
+    zero extra driver actions) if any single feature fans out to more
+    copies — the guard against a world-spanning geometry silently
+    writing 4^cell_zoom copies."""
+    clash = [c for c in _HELPER_COLS if c in df.columns]
+    if clash:
+        raise ValueError(f"input already has layout columns {clash}")
+    missing = [c for c in ("xmin", "ymin", "xmax", "ymax")
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"df lacks bbox columns {missing}; run engine.with_bbox first")
+
+    n = 1 << cell_zoom
+    span = WORLD / n
+    slack = cell_slack(cell_zoom, buffer_px)
+
+    def clamp(c):
+        return F.greatest(F.lit(0),
+                          F.least(c.cast("int"), F.lit(n - 1)))
+
+    cx0 = clamp(F.floor((F.col("xmin") - slack + MERC_MAX) / span))
+    cx1 = clamp(F.floor((F.col("xmax") + slack + MERC_MAX) / span))
+    cy0 = clamp(F.floor((MERC_MAX - (F.col("ymax") + slack)) / span))
+    cy1 = clamp(F.floor((MERC_MAX - (F.col("ymin") - slack)) / span))
+
+    out = (df.withColumn("cell_x0", cx0).withColumn("cell_y0", cy0)
+             .withColumn("_cx1", cx1).withColumn("_cy1", cy1))
+    if max_cells_per_feature is not None:
+        # fold the assert into a WRITTEN column (plus null-on-pass, so
+        # +0) — a free-standing guard column would be pruned unevaluated
+        n_cells = ((F.col("_cx1") - F.col("cell_x0") + 1).cast("long")
+                   * (F.col("_cy1") - F.col("cell_y0") + 1))
+        guard = F.assert_true(
+            n_cells <= F.lit(max_cells_per_feature),
+            F.concat(F.lit("feature fans out to "),
+                     n_cells.cast("string"),
+                     F.lit(f" cells (max {max_cells_per_feature})")))
+        out = out.withColumn(
+            "cell_x0",
+            F.col("cell_x0") + F.coalesce(guard.cast("int"), F.lit(0)))
+    out = (out
+           .withColumn("cell_x",
+                       F.explode(F.sequence(F.col("cell_x0"),
+                                            F.col("_cx1"))))
+           .withColumn("cell_y",
+                       F.explode(F.sequence(F.col("cell_y0"),
+                                            F.col("_cy1"))))
+           .drop("_cx1", "_cy1"))
+    out.write.mode(mode).partitionBy("cell_x", "cell_y").parquet(path)
+    _write_meta(df.sparkSession, path,
+                {"cell_zoom": cell_zoom, "buffer_px": buffer_px,
+                 "version": 1})
+
+
+def _meta_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path, META_FILE)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    # Hadoop FS, not a driver-local open(): the table path may be HDFS/
+    # object storage on a real cluster (the sidecar must live WITH the
+    # partitioned directories it describes).
+    fs, hpath = _meta_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def layout_meta(spark: SparkSession, path: str) -> dict:
+    fs, hpath = _meta_path(spark, path)
+    inp = fs.open(hpath)
+    try:
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(inp))
+    finally:
+        inp.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def is_cell_partitioned(spark: SparkSession, path: str) -> bool:
+    try:
+        fs, hpath = _meta_path(spark, path)
+        return bool(fs.exists(hpath))
+    except Exception:
+        return False
+
+
+def read_cell_partitioned(spark: SparkSession, path: str,
+                          bbox_merc: Optional[tuple] = None,
+                          minzoom: Optional[int] = None,
+                          keep_cells: bool = False) -> DataFrame:
+    """Exactly-once feature stream for a rectangular region (or the
+    whole table). Partition pruning: BETWEEN predicates on the two
+    partition columns prune directories natively; the exactly-once
+    filter is one codegen comparison per row."""
+    meta = layout_meta(spark, path)
+    rx0, ry0, rx1, ry1 = read_rect(bbox_merc, meta["cell_zoom"], minzoom,
+                                   meta.get("buffer_px", 2))
+    df = (spark.read.parquet(path)
+          .filter(F.col("cell_x").between(rx0, rx1)
+                  & F.col("cell_y").between(ry0, ry1))
+          .filter((F.col("cell_x")
+                   == F.greatest(F.col("cell_x0"), F.lit(rx0)))
+                  & (F.col("cell_y")
+                     == F.greatest(F.col("cell_y0"), F.lit(ry0)))))
+    return df if keep_cells else df.drop(*_HELPER_COLS)
+
+
+def read_cell_shard(spark: SparkSession, path: str, cell_x: int,
+                    cell_y: int, keep_cells: bool = False) -> DataFrame:
+    """One cell's shard, ALL copies (its own features plus the
+    slack-duplicated boundary neighbors) — the executor-local input for
+    rendering that cell's own tiles at zoom >= cell_zoom."""
+    df = (spark.read.parquet(path)
+          .filter((F.col("cell_x") == cell_x)
+                  & (F.col("cell_y") == cell_y)))
+    return df if keep_cells else df.drop(*_HELPER_COLS)
