@@ -148,6 +148,26 @@ def test_world_spanning_fanout_guard(spark, tmp_path):
                                max_cells_per_feature=4)
 
 
+def test_cluster_files_roundtrip(spark, table, tmp_path):
+    """cluster_files only changes the file layout (fewer, larger files
+    per cell dir), never the read contract."""
+    import glob
+
+    _, feats = table
+    path = str(tmp_path / "clustered")
+    write_cell_partitioned(feats, path, cell_zoom=CZ, buffer_px=2,
+                           cluster_files=4)
+    got = read_cell_partitioned(spark, path)
+    assert sorted(r["feature_id"] for r in
+                  got.select("feature_id").collect()) == \
+        sorted(r["feature_id"] for r in
+               feats.select("feature_id").collect())
+    # each cell directory holds at most cluster_files files
+    for d in glob.glob(f"{path}/cell_x=*/cell_y=*"):
+        n = len(glob.glob(f"{d}/*.parquet"))
+        assert 1 <= n <= 4, (d, n)
+
+
 def test_meta_sidecar(spark, table):
     path, _ = table
     assert is_cell_partitioned(spark, path)

@@ -108,7 +108,8 @@ def read_rect(bbox_merc: Optional[tuple], cell_zoom: int,
 def write_cell_partitioned(df: DataFrame, path: str, cell_zoom: int = 6,
                            buffer_px: int = 2,
                            max_cells_per_feature: Optional[int] = None,
-                           mode: str = "overwrite") -> None:
+                           mode: str = "overwrite",
+                           cluster_files: Optional[int] = None) -> None:
     """Write features cell-partitioned. df needs xmin/ymin/xmax/ymax
     bbox columns (engine.with_bbox adds them from WKB in one Arrow
     pass); rows within the clip slack of a cell border are duplicated
@@ -118,7 +119,13 @@ def write_cell_partitioned(df: DataFrame, path: str, cell_zoom: int = 6,
     max_cells_per_feature, when set, fails the write (executor-side,
     zero extra driver actions) if any single feature fans out to more
     copies — the guard against a world-spanning geometry silently
-    writing 4^cell_zoom copies."""
+    writing 4^cell_zoom copies.
+
+    cluster_files, when set, repartitions by cell (into that many
+    partitions) before the write so each task touches few cell
+    directories — without it an N-task write over C cells can emit up
+    to N*C files (the small-file explosion a 1000-executor write of a
+    256-cell grid would otherwise produce)."""
     clash = [c for c in _HELPER_COLS if c in df.columns]
     if clash:
         raise ValueError(f"input already has layout columns {clash}")
@@ -164,6 +171,8 @@ def write_cell_partitioned(df: DataFrame, path: str, cell_zoom: int = 6,
                        F.explode(F.sequence(F.col("cell_y0"),
                                             F.col("_cy1"))))
            .drop("_cx1", "_cy1"))
+    if cluster_files:
+        out = out.repartition(cluster_files, "cell_x", "cell_y")
     out.write.mode(mode).partitionBy("cell_x", "cell_y").parquet(path)
     _write_meta(df.sparkSession, path,
                 {"cell_zoom": cell_zoom, "buffer_px": buffer_px,
