@@ -80,7 +80,8 @@ def main():
                           "joined_rows_per_sec", "poly_tiles_per_sec",
                           "multilayer_tiles_per_sec",
                           "concave_tiles_per_sec",
-                          "highzoom_tiles_per_sec")}
+                          "highzoom_tiles_per_sec",
+                          "rerender_tiles_per_sec")}
 
     t_n, t_4n = tp(runs_n), tp(runs_4n)
     eff_tiles = (t_4n["tiles_per_sec"] / t_n["tiles_per_sec"]) / 4.0
@@ -95,6 +96,8 @@ def main():
               t_n["concave_tiles_per_sec"]) / 4.0
     eff_hz = (t_4n["highzoom_tiles_per_sec"] /
               t_n["highzoom_tiles_per_sec"]) / 4.0
+    eff_rr = (t_4n["rerender_tiles_per_sec"] /
+              t_n["rerender_tiles_per_sec"]) / 4.0
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # preserve manually-authored sections (join re-bench etc.) across
@@ -133,6 +136,7 @@ host-contention noise documented below; all raw lines included).
 | multilayer tiles/sec | {t_n['multilayer_tiles_per_sec']} | {t_4n['multilayer_tiles_per_sec']} | {eff_ml:.3f} |
 | concave-polygon tiles/sec | {t_n['concave_tiles_per_sec']} | {t_4n['concave_tiles_per_sec']} | {eff_cc:.3f} |
 | z0-z14 bbox tiles/sec | {t_n['highzoom_tiles_per_sec']} | {t_4n['highzoom_tiles_per_sec']} | {eff_hz:.3f} |
+| z8-z14 cell-pruned re-render tiles/sec | {t_n['rerender_tiles_per_sec']} | {t_4n['rerender_tiles_per_sec']} | {eff_rr:.3f} |
 
 North-rule target: >= 0.8 on the primary (tiles/sec) metric. The
 polygon-dense and 3-layer legs (round 4) exercise the S-H clip /
