@@ -157,6 +157,42 @@ def main():
         "narrow arithmetic; the only shuffles are the salted encode and "
         "the tile assembly).\n\n```\n" + p[:4000] + "\n```\n")
 
+    # 5. cell-partitioned layout read (partition.py / S12): partition
+    # pruning reaches the scan, and the exactly-once survivor rule is
+    # pure codegen (no Python nodes anywhere in the read)
+    import tempfile
+    from tileigi_spark.mercator import MERC_MAX
+    from tileigi_spark.partition import (read_cell_partitioned,
+                                         write_cell_partitioned)
+    cell_dir = os.path.join(tempfile.mkdtemp(prefix="plan_cells_"), "t")
+    write_cell_partitioned(with_bbox(features_df(spark, 60)), cell_dir,
+                           cell_zoom=3, buffer_px=2)
+    span = 2.0 * MERC_MAX / 8
+    rect = (-MERC_MAX + 2.0 * span, -MERC_MAX + 2.0 * span,
+            -MERC_MAX + 3.5 * span, -MERC_MAX + 3.5 * span)
+    cr = read_cell_partitioned(spark, cell_dir, bbox_merc=rect)
+    p_cr = plan_of(cr)
+    seg = ""
+    if "PartitionFilters" in p_cr:
+        seg = p_cr[p_cr.index("PartitionFilters"):]
+        seg = seg[:seg.index("]") + 1] if "]" in seg else seg
+    checks.append(("cell-partitioned read",
+                   "partition pruning at the scan (PartitionFilters on "
+                   "cell_x AND cell_y)",
+                   "cell_x" in seg and "cell_y" in seg))
+    checks.append(("cell-partitioned read",
+                   "exactly-once survivor filter is pure codegen "
+                   "(no Python nodes)",
+                   "Python" not in p_cr and "MapInPandas" not in p_cr))
+    sections.append(
+        "## cell-partitioned layout read (directory pruning + codegen "
+        "survivor rule)\n\nA bbox read of the partitionBy(cell_x, cell_y) "
+        "feature table must prune partition DIRECTORIES at the scan "
+        "(file listing never touches the other cells at 100 TB) and keep "
+        "exactly one boundary-duplicated copy per feature with a plain "
+        "greatest() comparison — no shuffle, no Python.\n\n```\n"
+        + p_cr[:3000] + "\n```\n")
+
     out = ["# PLANS — physical-plan hygiene audit\n",
            "Generated by tools/plan_audit.py. Checks:\n"]
     failed = 0
