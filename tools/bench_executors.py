@@ -27,6 +27,11 @@ Usage:
   python tools/bench_executors.py [--procs 2,8] [--replicas 9600]
       [--reps 2] [--maxzoom 10] [--sf /root/testdata/sf0.1]
       [--geo DIR]   # reuse an already-staged (unsharded) geo parquet
+      [--cells CZ]  # use the partition.py cell layout instead of strips:
+                    # ONE width-independent staged table, each worker
+                    # reads its column block via read_cell_partitioned
+                    # (exactly-once + render-complete), pyramid runs
+                    # z(CZ)..maxzoom (shallower tiles span columns)
 """
 
 from __future__ import annotations
@@ -64,8 +69,8 @@ def _slack() -> float:
 
 
 def worker(args):
-    """One executor JVM: local[1], one longitude-strip shard, barrier
-    start."""
+    """One executor JVM: local[1], one input shard (a longitude strip,
+    or a column of cells of the partition.py layout), barrier start."""
     from pyspark.sql import SparkSession, functions as F
 
     i, w = args.worker, args.nprocs
@@ -83,18 +88,44 @@ def worker(args):
     import bench
     from tileigi_spark.engine import build_tiles
 
-    geo = spark.read.parquet(os.path.join(args.geo, f"strip={i}"))
-    feats = bench.pages_to_features(geo)
     layers = _flagship_layers(args.maxzoom)
-    lon0 = -180.0 + i * 360.0 / w
-    lon1 = -180.0 + (i + 1) * 360.0 / w
-    strip = (lon0, -90.0, lon1, 90.0)
     owned = F.expr(f"(x * {w}) div shiftleft(1L, zoom) = {i}")
+    if args.cells:
+        # cells mode: the worker's territory is a contiguous column
+        # block of the cell grid; read_cell_partitioned over that rect
+        # is exactly-once AND render-complete for the rect's own tiles
+        # at zoom >= cell_zoom (tests/test_partition.py parity suites)
+        from tileigi_spark.mercator import MERC_MAX, merc_to_lonlat
+        from tileigi_spark.partition import read_cell_partitioned
+
+        cz = args.cells
+        ncols = 1 << cz
+        span = 2.0 * MERC_MAX / ncols
+        c0, c1 = i * ncols // w, (i + 1) * ncols // w - 1
+        eps = span * 1e-6  # stay off cell seams: a closed bbox exactly
+        # on a boundary would pull the neighbor column's cells/tiles
+        rect = (-MERC_MAX + c0 * span + eps, -MERC_MAX + eps,
+                -MERC_MAX + (c1 + 1) * span - eps, MERC_MAX - eps)
+        feats = read_cell_partitioned(spark, args.geo, bbox_merc=rect,
+                                      minzoom=cz)
+        lons, lats = merc_to_lonlat([rect[0], rect[2]], [rect[1], rect[3]])
+        bbox = (float(lons[0]), float(lats[0]),
+                float(lons[1]), float(lats[1]))
+        minzoom = cz
+    else:
+        geo = spark.read.parquet(os.path.join(args.geo, f"strip={i}"))
+        feats = bench.pages_to_features(geo)
+        lon0 = -180.0 + i * 360.0 / w
+        lon1 = -180.0 + (i + 1) * 360.0 / w
+        bbox = (lon0, -90.0, lon1, 90.0)
+        minzoom = 0
 
     # warm: JVM JIT + python workers + plan machinery, outside the
-    # timed window (z0-3 on the strip is a few hundred thinned rows)
-    build_tiles(spark, {"pages": feats}, layers, 0, 3,
-                shuffle_parts=8, bbox=strip).filter(owned).count()
+    # timed window (the shallow zooms on the shard are a few hundred
+    # thinned rows)
+    build_tiles(spark, {"pages": feats}, layers, minzoom,
+                max(minzoom, 3), shuffle_parts=8, bbox=bbox) \
+        .filter(owned).count()
 
     sync = args.sync
     open(os.path.join(sync, f"ready_{i}"), "w").close()
@@ -103,8 +134,8 @@ def worker(args):
         time.sleep(0.05)
 
     t0 = time.time()
-    tiles = build_tiles(spark, {"pages": feats}, layers, 0, args.maxzoom,
-                        shuffle_parts=8, bbox=strip)
+    tiles = build_tiles(spark, {"pages": feats}, layers, minzoom,
+                        args.maxzoom, shuffle_parts=8, bbox=bbox)
     per_zoom = {int(r["zoom"]): int(r["n"]) for r in
                 (tiles.filter(owned).groupBy("zoom")
                  .agg(F.count("*").alias("n")).collect())}
@@ -146,14 +177,16 @@ def shard_input(geo: str, w: int) -> str:
     return out
 
 
-def run_width(w: int, shard: str, maxzoom: int) -> dict:
+def run_width(w: int, shard: str, maxzoom: int,
+              cells: int | None = None) -> dict:
     sync = tempfile.mkdtemp(prefix=f"tileigi_exec_sync_{w}_")
     procs = []
     for i in range(w):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
              "--nprocs", str(w), "--geo", shard, "--maxzoom", str(maxzoom),
-             "--sync", sync],
+             "--sync", sync]
+            + (["--cells", str(cells)] if cells else []),
             cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
     deadline = time.time() + 600
     while (sum(os.path.exists(os.path.join(sync, f"ready_{i}"))
@@ -194,6 +227,13 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--geo", default=None,
                     help="reuse an already-staged (unsharded) geo dir")
+    ap.add_argument("--cells", type=int, default=None,
+                    help="use the partition.py cell layout at this cell "
+                         "zoom instead of per-width strip shards: ONE "
+                         "staged table serves every width (each worker "
+                         "reads its column block via "
+                         "read_cell_partitioned); pyramid runs "
+                         "z(cell_zoom)..maxzoom")
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--nprocs", type=int, default=None)
     ap.add_argument("--sync", default=None)
@@ -204,6 +244,12 @@ def main():
         return
 
     widths = [int(x) for x in args.procs.split(",")]
+    if args.cells:
+        ncols = 1 << args.cells
+        bad = [w for w in widths if ncols % w]
+        if bad:
+            raise SystemExit(f"--cells {args.cells}: widths {bad} do not "
+                             f"divide the {ncols}-column grid")
     geo = args.geo
     if geo is None:
         # stage the geotagged page set once at full width
@@ -219,20 +265,44 @@ def main():
               f"{time.time() - t0:.1f}s -> {geo}", flush=True)
         spark.stop()
 
-    shards = {w: shard_input(geo, w) for w in widths}
+    if args.cells:
+        # ONE width-independent cell-partitioned table (the shape a real
+        # 100-TB table arrives in) — contrast with strips, which must be
+        # re-staged per fleet width
+        import bench
+        from tileigi_spark.partition import write_cell_partitioned
+
+        spark = bench.make_spark(32)
+        spark.sparkContext.setLogLevel("ERROR")
+        table = tempfile.mkdtemp(prefix="tileigi_exec_cells_") + "/t"
+        t0 = time.time()
+        feats = bench.pages_to_features(spark.read.parquet(geo))
+        write_cell_partitioned(feats, table, cell_zoom=args.cells,
+                               buffer_px=BUFFER_PX, cluster_files=64)
+        n = spark.read.parquet(table).count()
+        print(f"staged cell table (cz={args.cells}) in "
+              f"{time.time() - t0:.1f}s -> {table} (rows {n}, boundary "
+              f"dup included)", flush=True)
+        spark.stop()
+        shards = {w: table for w in widths}
+    else:
+        shards = {w: shard_input(geo, w) for w in widths}
 
     legs = []
     for rep in range(args.reps):
         for w in widths:
-            leg = run_width(w, shards[w], args.maxzoom)
+            leg = run_width(w, shards[w], args.maxzoom, args.cells)
             leg["rep"] = rep
             legs.append(leg)
             print(json.dumps(leg), flush=True)
 
     best = {w: max(r["tiles_per_sec"] for r in legs if r["nprocs"] == w)
             for w in widths}
+    mode = (f"cell-partitioned table cz={args.cells}, pyramid "
+            f"z{args.cells}-z{args.maxzoom}" if args.cells
+            else "strip-partitioned shards")
     summary = {"metric": "executor-process scaling (independent local[1] "
-                         "JVMs, strip-partitioned shards)",
+                         f"JVMs, {mode})",
                "replicas": args.replicas, "maxzoom": args.maxzoom,
                "best_tiles_per_sec": best}
     for a, b in zip(widths, widths[1:]):
