@@ -1186,7 +1186,9 @@ FROM documents ORDER BY doc_id
 _CELL_Z = 3
 _CELL_N = 1 << _CELL_Z
 _CELL_SPAN = WORLD / _CELL_N
-_CELL_SLACK = _CELL_SPAN * ((2 * 16 + 1) / 4096.0)  # cell_slack(3, 2)
+from tileigi_spark.partition import cell_slack as _cell_slack
+
+_CELL_SLACK = _cell_slack(_CELL_Z, 2)
 _CELL_GROW = 1.5 * _CELL_SPAN                       # feature box max size
 _CELL_BBOX = (-MERC + 1.3 * _CELL_SPAN, -MERC + 2.1 * _CELL_SPAN,
               -MERC + 4.6 * _CELL_SPAN, -MERC + 5.2 * _CELL_SPAN)

@@ -186,6 +186,39 @@ def synth_lines(spark, n: int):
     return ids.mapInPandas(gen, out_schema)
 
 
+def concave_vertex_arrays(i):
+    """The deterministic concave-16-gon vertex generator shared by the
+    synth_concave bench leg and tools/pipeline_ceiling.py's kernel
+    probe (ONE definition, so the kernel-ceiling prediction provably
+    measures the same diet the bench leg renders). i: int64 id array;
+    returns (px, py) of shape (len(i), 17) — closed rings, one third
+    reversed winding."""
+    import numpy as np
+    from tileigi_spark.mercator import MERC_MAX
+
+    NP = 16
+    span = 0.95 * MERC_MAX
+    cx = ((i * 2654435761) % 2_000_000) / 1e6 * span - span
+    cy = ((i * 69069) % 2_000_000) / 1e6 * span - span
+    base = 2000.0 * (1.0 + (i % 307)).astype(np.float64)
+    k = np.arange(NP)
+    ang = 2.0 * np.pi * k / NP
+    # deterministic per-vertex wobble in [0.35, 1.0]
+    wob = 0.35 + 0.65 * (((i[:, None] * 31 + k * 17) % 97) / 97.0)
+    r = base[:, None] * wob
+    m = len(i)
+    px = np.empty((m, NP + 1))
+    py = np.empty((m, NP + 1))
+    px[:, :NP] = cx[:, None] + r * np.cos(ang)
+    py[:, :NP] = cy[:, None] + r * np.sin(ang)
+    rev = (i % 3) == 0
+    px[rev, :NP] = px[rev, :NP][:, ::-1]
+    py[rev, :NP] = py[rev, :NP][:, ::-1]
+    px[:, NP] = px[:, 0]
+    py[:, NP] = py[:, 0]
+    return px, py
+
+
 def synth_concave(spark, n: int):
     """Deterministic CONCAVE 16-gon polygons (irregular radii, no axis
     alignment — nothing here hits the rect fast path), exercising the
@@ -210,24 +243,7 @@ def synth_concave(spark, n: int):
             m = len(i)
             if m == 0:
                 continue
-            span = 0.95 * MERC_MAX
-            cx = ((i * 2654435761) % 2_000_000) / 1e6 * span - span
-            cy = ((i * 69069) % 2_000_000) / 1e6 * span - span
-            base = 2000.0 * (1.0 + (i % 307)).astype(np.float64)
-            k = np.arange(NP)
-            ang = 2.0 * np.pi * k / NP
-            # deterministic per-vertex wobble in [0.35, 1.0]
-            wob = 0.35 + 0.65 * (((i[:, None] * 31 + k * 17) % 97) / 97.0)
-            r = base[:, None] * wob
-            px = np.empty((m, NP + 1))
-            py = np.empty((m, NP + 1))
-            px[:, :NP] = cx[:, None] + r * np.cos(ang)
-            py[:, :NP] = cy[:, None] + r * np.sin(ang)
-            rev = (i % 3) == 0
-            px[rev, :NP] = px[rev, :NP][:, ::-1]
-            py[rev, :NP] = py[rev, :NP][:, ::-1]
-            px[:, NP] = px[:, 0]
-            py[:, NP] = py[:, 0]
+            px, py = concave_vertex_arrays(i)
             buf = np.empty((m, wkb_len), dtype=np.uint8)
             buf[:, 0] = 1
             buf[:, 1:5] = np.array([3, 0, 0, 0], dtype=np.uint8)

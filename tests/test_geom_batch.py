@@ -448,3 +448,130 @@ class TestChunkedBatches:
                           for r in df.itertuples())
 
         assert rows(chunked) == rows(scalar)
+
+
+def pinched_ring(scale=3e5, flip=False):
+    """Two simple CCW lobes joined at ONE repeated vertex (a pinch):
+    every segment pair classifies NONE or END_TO_END — invisible to
+    the self-intersection screen — yet make_valid's dissolve SPLITS
+    the ring into two polygons. flip=True mirrors to CW."""
+    pts = [(0, 0), (2, -1), (3, 1), (1, 2), (0, 0),
+           (-1, 2), (-3, 1), (-2, -1), (0, 0)]
+    sy = -1.0 if flip else 1.0
+    return [(x * scale, y * scale * sy) for x, y in pts]
+
+
+def _pinch_repro_recs(zoom=0):
+    """The fuzz-found regression ring: vertex (2498,3332) repeats
+    non-consecutively (a pinch), traversal reversed so the ring
+    arrives needing the winding repair. In tile units at `zoom`,
+    inverse-remapped to mercator input coordinates."""
+    tile_pts = [(2311, 2918), (2319, 3192), (2275, 3292), (2064, 3468),
+                (2498, 3332), (2377, 3724), (2540, 3556), (2779, 3690),
+                (2498, 3332), (2952, 3304), (2887, 3097), (2710, 2982),
+                (2512, 3105), (2311, 2918)][::-1]
+    span = 2 * MERC_MAX / (1 << zoom)
+    r = [(-MERC_MAX + x / 4096.0 * span, MERC_MAX - y / 4096.0 * span)
+         for x, y in tile_pts]
+    return [rec(("Polygon", [r]), zoom=zoom, fid=1)]
+
+
+class TestPinchedRingRepair:
+    """Regression: the wind-only in-place repair must NOT fire for a
+    CCW ring with a repeated non-consecutive vertex — the scalar
+    dissolve splits it into two polygons, a reversal cannot."""
+
+    def test_ccw_pinched_ring_splits_like_scalar(self):
+        ref, got = run_both(_pinch_repro_recs(zoom=0))
+        assert ref == got and len(ref) > 0
+        # prove the case exercises the split (guards test liveness)
+        typ, data = wkb_to_geom(ref[0][4])
+        assert typ == "MultiPolygon" and len(data) == 2
+
+    def test_ccw_pinched_ring_splits_at_maxzoom(self):
+        # global_maxzoom: RDP skipped, the pinch provably survives to
+        # the validity stage
+        ref, got = run_both(_pinch_repro_recs(zoom=14))
+        assert ref == got and len(ref) > 0
+        typ, data = wkb_to_geom(ref[0][4])
+        assert typ == "MultiPolygon" and len(data) == 2
+
+    def test_cw_pinched_ring_parity(self):
+        # CW pinch: winding is fine, certificate-clean path must agree
+        # with the scalar chain (which skips the dissolve entirely)
+        recs = [rec(("Polygon", [pinched_ring(flip=True)]), zoom=0,
+                    fid=2)]
+        ref, got = run_both(recs)
+        assert ref == got and len(ref) > 0
+
+    def test_pinch_variants_parity(self):
+        recs = []
+        fid = 0
+        for z in (0, 2, 4):
+            for scale in (2e5, 9e5):
+                for flip in (False, True):
+                    recs.append(rec(("Polygon",
+                                     [pinched_ring(scale, flip)]),
+                                    zoom=z, fid=fid))
+                    fid += 1
+        ref, got = run_both(recs)
+        assert ref == got and len(ref) > 0
+
+
+class TestBlockedIntersectionScreen:
+    """Rings above _VEC_SEG_CAP segments take the O(m)-memory blocked
+    pair walk; its classification must match the all-pairs path."""
+
+    def _recs(self):
+        recs = [rec(("Polygon", [ring(0, 0, 3e6, 24,
+                                      wobble=[1, .3, .8, .5])]),
+                    zoom=2, fid=0),
+                # doubly-wound star: genuinely self-intersecting
+                rec(("Polygon", [ring(0, 0, 2e6, 18,
+                                      wobble=[1, .2] * 9, rot=0.3)]),
+                    zoom=3, fid=1),
+                rec(("Polygon", [pinched_ring()]), zoom=0, fid=2)]
+        return recs
+
+    def test_blocked_equals_allpairs(self, monkeypatch):
+        import tileigi_spark.geom.batch as B
+        pdf = pd.DataFrame(self._recs())
+        args = (["tag"], 32, 8, 14, 8)
+        whole = B.process_general(pdf, *args)
+        monkeypatch.setattr(B, "_VEC_SEG_CAP", 4)  # force blocked walk
+        blocked = B.process_general(pdf, *args)
+
+        def rows(df):
+            return sorted((int(r.zoom), int(r.x), int(r.y),
+                           int(r.feature_id), bytes(r.geom))
+                          for r in df.itertuples())
+
+        assert rows(whole) == rows(blocked) and len(rows(whole)) > 0
+
+    def test_flags_equal_on_random_rings(self, monkeypatch):
+        import numpy as np
+        import tileigi_spark.geom.batch as B
+        rng = random.Random(11)
+        us, vs, off = [], [], [0]
+        for i in range(30):
+            if i % 5 == 4:  # bowtie: segments genuinely cross
+                pts = [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0),
+                       (0.0, 0.0)]
+            else:
+                npts = rng.randint(5, 40)
+                wob = [0.3 + 0.7 * rng.random() for _ in range(npts)]
+                pts = ring(rng.uniform(-5, 5), rng.uniform(-5, 5),
+                           rng.uniform(1, 4), npts, wobble=wob,
+                           rot=rng.random())
+            us.extend(p[0] for p in pts)
+            vs.extend(p[1] for p in pts)
+            off.append(len(us))
+        u = np.asarray(us)
+        v = np.asarray(vs)
+        offa = np.asarray(off, dtype=np.int64)
+        check = np.ones(len(offa) - 1, dtype=bool)
+        allpairs = B._self_intersection_flags(u, v, offa, check)
+        monkeypatch.setattr(B, "_VEC_SEG_CAP", 3)
+        blocked = B._self_intersection_flags(u, v, offa, check)
+        assert (allpairs == blocked).all()
+        assert allpairs.any() and not allpairs.all()

@@ -316,3 +316,25 @@ Layer:
         return {(r["zoom"], r["x"], r["y"]): bytes(r["tile"]) for r in rows}
     t1, t2 = stored(dest1), stored(dest2)
     assert len(t1) > 0 and t1 == t2
+
+
+def test_append_with_mismatched_grid_rejected(spark, tmp_path):
+    """Appending under a different cell_zoom/buffer_px would mix two
+    grids in one table while the sidecar describes only the new one —
+    the survivor rule would then prune/duplicate the OLD rows against
+    the wrong grid silently. Must refuse."""
+    path = str(tmp_path / "t")
+    feats = with_bbox(features_df(spark, 8))
+    write_cell_partitioned(feats, path, cell_zoom=CZ, buffer_px=2)
+    with pytest.raises(ValueError, match="append with cell_zoom"):
+        write_cell_partitioned(feats, path, cell_zoom=CZ + 1,
+                               buffer_px=2, mode="append")
+    with pytest.raises(ValueError, match="append with cell_zoom"):
+        write_cell_partitioned(feats, path, cell_zoom=CZ,
+                               buffer_px=4, mode="append")
+    # matching layout appends fine and doubles the row count
+    before = spark.read.parquet(path).count()
+    write_cell_partitioned(feats, path, cell_zoom=CZ, buffer_px=2,
+                           mode="append")
+    assert spark.read.parquet(path).count() == 2 * before
+    assert layout_meta(spark, path)["cell_zoom"] == CZ

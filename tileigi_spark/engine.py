@@ -34,7 +34,8 @@ from pyspark.sql.types import (
 )
 
 from .config import Layers
-from .mercator import MERC_MAX, bbox_metatile_range, bbox_tile_range
+from .mercator import (MERC_MAX, bbox_metatile_range, bbox_tile_range,
+                       cover_slack)
 from .geom.wkb import wkb_to_geom, geom_to_wkb
 from .geom import mvt, ringbulk
 
@@ -206,7 +207,7 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
         ay0 = MERC_MAX - (mty1 + 1) * span
         ay1 = MERC_MAX - mty0 * span
         # widest clip-buffer slack across zooms (largest at min zoom)
-        slack = (WORLD / (1 << minz)) * ((buffer_px * 16 + 1) / 4096.0)
+        slack = cover_slack(minz, buffer_px)
         feats = feats.filter(
             (F.col("xmax") >= F.lit(ax0 - slack))
             & (F.col("xmin") <= F.lit(ax1 + slack))
@@ -227,7 +228,7 @@ def cover_metatiles(feats: DataFrame, zooms: list[int], buffer_px: int,
             zx0, zy0, zx1, zy1 = bbox_metatile_range(bbox_merc, z,
                                                      metatile_scale)
             span_z = WORLD * min(metatile_scale, 1 << z) / float(1 << z)
-            pad_z = (WORLD / (1 << z)) * ((buffer_px * 16 + 1) / 4096.0)
+            pad_z = cover_slack(z, buffer_px)
             c = ((F.col("zoom") == z)
                  & (F.col("xmax") >= F.lit(-MERC_MAX + zx0 * span_z
                                            - pad_z))

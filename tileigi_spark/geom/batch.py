@@ -478,9 +478,16 @@ def _rdp_keep_py(xs, ys, e):
 
 _PAIR_CACHE: dict = {}
 
+# all-pairs materialization cap: a ring with more segments than this
+# takes the O(m) -memory row-blocked walk instead (the all-pairs arrays
+# are O(m^2) and a single 20k-vertex coastline ring would otherwise
+# allocate ~2e8-element temporaries and OOM the Python worker)
+_VEC_SEG_CAP = 1024
+
 
 def _pair_idx(m):
-    """Cached upper-triangle (i < j) index pairs for m segments."""
+    """Cached upper-triangle (i < j) index pairs for m segments
+    (m <= _VEC_SEG_CAP, so each cached entry is <= ~0.5M pairs)."""
     got = _PAIR_CACHE.get(m)
     if got is None:
         pi, pj = np.triu_indices(m, k=1)
@@ -490,40 +497,12 @@ def _pair_idx(m):
     return got
 
 
-def _self_intersection_flags(u, v, off, check):
-    """Per-ring conservative 'scalar might see an intersection' flags
+def _seg_pairs_bad(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Per-pair 'the scalar classifier might see an intersection' mask
     via the exact sd/td classification of validity.intersection (no
-    crossing point needed). A ring where every segment pair classifies
-    NONE or END_TO_END provably passes has_self_intersections; genuine
-    TOUCHING/CROSSING and any parallel bbox-overlapping collinear pair
-    (possible OVERLAPPING) flag the ring. `check` selects rings."""
-    nring = len(off) - 1
-    flags = np.zeros(nring, dtype=bool)
-    rings = np.flatnonzero(check)
-    if not len(rings):
-        return flags
-    sizes = _sizes(off)
-    ii, jj, rr = [], [], []
-    for r in rings:
-        m = int(sizes[r]) - 1
-        if m < 2:
-            continue
-        pi, pj = _pair_idx(m)
-        base = int(off[r])
-        ii.append(pi + base)
-        jj.append(pj + base)
-        rr.append(np.full(len(pi), r, dtype=np.int64))
-    if not ii:
-        return flags
-    I = np.concatenate(ii)
-    J = np.concatenate(jj)
-    R = np.concatenate(rr)
-
-    ax1, ay1 = u[I], v[I]
-    ax2, ay2 = u[I + 1], v[I + 1]
-    bx1, by1 = u[J], v[J]
-    bx2, by2 = u[J + 1], v[J + 1]
-
+    crossing point needed): genuine TOUCHING/CROSSING, and any parallel
+    bbox-overlapping collinear pair (possible OVERLAPPING); NONE and
+    END_TO_END pairs stay False."""
     overlap = ~((np.maximum(ax1, ax2) < np.minimum(bx1, bx2))
                 | (np.minimum(ax1, ax2) > np.maximum(bx1, bx2))
                 | (np.maximum(ay1, ay2) < np.minimum(by1, by2))
@@ -534,12 +513,11 @@ def _self_intersection_flags(u, v, off, check):
     c = ay2 - ay1
     d = by1 - by2
     det = a * d - b * c
+    bad = np.zeros(np.shape(det), dtype=bool)
     par = (det == 0) & overlap
     if par.any():
         col = ((bx2 - bx1) * (ay1 - by1) == (by2 - by1) * (ax1 - bx1))
-        bad = par & col
-        if bad.any():
-            flags |= np.bincount(R[bad], minlength=nring) > 0
+        bad |= par & col
 
     nz = (det != 0) & overlap
     if nz.any():
@@ -551,9 +529,60 @@ def _self_intersection_flags(u, v, off, check):
         td = sgn * (d * e_ - b * f_)
         outside = (sd < 0) | (sd > adet) | (td < 0) | (td > adet)
         end2end = ((td == 0) | (td == adet)) & ((sd == 0) | (sd == adet))
-        bad = nz & ~outside & ~end2end
-        if bad.any():
-            flags |= np.bincount(R[bad], minlength=nring) > 0
+        bad |= nz & ~outside & ~end2end
+    return bad
+
+
+def _ring_self_intersects_blocked(u, v, base, m):
+    """One huge ring (m > _VEC_SEG_CAP segments): row-blocked pair walk
+    — O(m) temporaries per row instead of the O(m^2) all-pairs arrays,
+    same classification as _seg_pairs_bad."""
+    for i in range(m - 1):
+        s = base + i + 1
+        if _seg_pairs_bad(u[base + i], v[base + i],
+                          u[base + i + 1], v[base + i + 1],
+                          u[s:base + m], v[s:base + m],
+                          u[s + 1:base + m + 1],
+                          v[s + 1:base + m + 1]).any():
+            return True
+    return False
+
+
+def _self_intersection_flags(u, v, off, check):
+    """Per-ring conservative 'scalar might see an intersection' flags.
+    A ring where every segment pair classifies NONE or END_TO_END
+    provably passes has_self_intersections; genuine TOUCHING/CROSSING
+    and possible-OVERLAPPING pairs flag the ring. `check` selects
+    rings. Rings above _VEC_SEG_CAP segments take the blocked walk."""
+    nring = len(off) - 1
+    flags = np.zeros(nring, dtype=bool)
+    rings = np.flatnonzero(check)
+    if not len(rings):
+        return flags
+    sizes = _sizes(off)
+    ii, jj, rr = [], [], []
+    for r in rings:
+        m = int(sizes[r]) - 1
+        if m < 2:
+            continue
+        base = int(off[r])
+        if m > _VEC_SEG_CAP:
+            flags[r] = _ring_self_intersects_blocked(u, v, base, m)
+            continue
+        pi, pj = _pair_idx(m)
+        ii.append(pi + base)
+        jj.append(pj + base)
+        rr.append(np.full(len(pi), r, dtype=np.int64))
+    if not ii:
+        return flags
+    I = np.concatenate(ii)
+    J = np.concatenate(jj)
+    R = np.concatenate(rr)
+
+    bad = _seg_pairs_bad(u[I], v[I], u[I + 1], v[I + 1],
+                         u[J], v[J], u[J + 1], v[J + 1])
+    if bad.any():
+        flags |= np.bincount(R[bad], minlength=nring) > 0
     return flags
 
 
@@ -1246,6 +1275,18 @@ def _validate_emit(ps, x0t, y0t, size_mt, extent_i, buffer_units,
     p_force_multi = np.zeros(P, dtype=bool)
     only_wind = (wind_bad & ~(spike | struct_bad | xbad) & safe
                  & (sign == 1) & ~ring_int)
+    if only_wind.any():
+        # A repeated NON-consecutive vertex (a pinch) is invisible to
+        # the pair screen — both segment pairs at the pinch share an
+        # endpoint and classify END_TO_END — but make_valid's dissolve
+        # SPLITS a pinched ring into multiple polygons, which the
+        # reverse-in-place shortcut below cannot reproduce. Route
+        # pinched rings to the scalar machinery instead.
+        for r in np.flatnonzero(only_wind).tolist():
+            s, e = int(off[r]), int(off[r + 1])
+            pts = u[s:e - 1] + 1j * v[s:e - 1]  # closing vertex excluded
+            if len(np.unique(pts)) != e - 1 - s:
+                only_wind[r] = False
     if only_wind.any():
         nring_of = np.bincount(ring_piece, minlength=P)
         fixable = only_wind & (nring_of[ring_piece] == 1)

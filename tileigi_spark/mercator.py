@@ -202,3 +202,13 @@ def buffer_math(metatile: Metatile, buffer_pixels: int):
     pixel_height = np.float32(tile_height / canvas_size)
     extent = 4096.0 * metatile.size
     return bbox, buffer, float(pixel_width), float(pixel_height), extent
+
+
+def cover_slack(zoom: int, buffer_px: int) -> float:
+    """Feature-prefilter pad at `zoom` (mercator units): one tile's
+    clip-buffer plus one tile unit of rounding slack. Single source of
+    truth — engine.cover_metatiles' scan/per-zoom prefilters,
+    partition.cell_slack's write-side boundary duplication, and the
+    executor-fleet harness's strip overlap all use THIS formula; the
+    cell layout's render-completeness proof depends on them agreeing."""
+    return (2.0 * MERC_MAX / (1 << zoom)) * ((buffer_px * 16 + 1) / 4096.0)

@@ -45,7 +45,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .mercator import MERC_MAX, bbox_tile_range
+from .mercator import MERC_MAX, bbox_tile_range, cover_slack
 
 WORLD = 2.0 * MERC_MAX
 META_FILE = "_tileigi_cells.json"
@@ -54,9 +54,10 @@ _HELPER_COLS = ("cell_x", "cell_y", "cell_x0", "cell_y0")
 
 def cell_slack(cell_zoom: int, buffer_px: int) -> float:
     """The engine's feature-prefilter pad at cell_zoom (mercator units):
-    clip-buffer plus one tile unit of rounding slack, exactly
-    engine.cover_metatiles' formula."""
-    return (WORLD / (1 << cell_zoom)) * ((buffer_px * 16 + 1) / 4096.0)
+    clip-buffer plus one tile unit of rounding slack — delegates to the
+    shared mercator.cover_slack so the write-side duplication can never
+    drift from engine.cover_metatiles' prefilter."""
+    return cover_slack(cell_zoom, buffer_px)
 
 
 def cell_bbox_merc(cell_x: int, cell_y: int, cell_zoom: int) -> tuple:
@@ -134,6 +135,22 @@ def write_cell_partitioned(df: DataFrame, path: str, cell_zoom: int = 6,
     if missing:
         raise ValueError(
             f"df lacks bbox columns {missing}; run engine.with_bbox first")
+    if mode == "append":
+        # appending under a different grid would mix two layouts in one
+        # table while the sidecar describes only the new one — the
+        # survivor rule and read_rect would then prune/duplicate the
+        # OLD rows against the wrong grid with no error
+        try:
+            prev = layout_meta(df.sparkSession, path)
+        except Exception:
+            prev = None  # no existing table: append == create
+        if prev is not None and (prev.get("cell_zoom") != cell_zoom
+                                 or prev.get("buffer_px") != buffer_px):
+            raise ValueError(
+                f"append with cell_zoom={cell_zoom}/buffer_px={buffer_px} "
+                f"onto a table written with cell_zoom="
+                f"{prev.get('cell_zoom')}/buffer_px={prev.get('buffer_px')}"
+                f"; rewrite the table or match its layout")
 
     n = 1 << cell_zoom
     span = WORLD / n

@@ -64,8 +64,8 @@ def _flagship_layers(pyramid_maxzoom: int):
 
 def _slack() -> float:
     # cover_metatiles' widest feature-prefilter slack (min zoom 0)
-    from tileigi_spark.engine import WORLD
-    return (WORLD / 1) * ((BUFFER_PX * 16 + 1) / 4096.0)
+    from tileigi_spark.mercator import cover_slack
+    return cover_slack(0, BUFFER_PX)
 
 
 def worker(args):

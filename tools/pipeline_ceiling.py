@@ -73,27 +73,16 @@ def _point_batch(n=20000):
 def _concave_batch(n=6000):
     import numpy as np
     import pandas as pd
+    from bench import concave_vertex_arrays  # THE bench-leg generator
     from tileigi_spark.mercator import MERC_MAX
 
     i = np.arange(n, dtype=np.int64)
+    px, py = concave_vertex_arrays(i)
+    # ring centers (for the metatile assignment below) — same hash mix
+    # the generator uses internally
     span = 0.95 * MERC_MAX
     cx = ((i * 2654435761) % 2_000_000) / 1e6 * span - span
     cy = ((i * 69069) % 2_000_000) / 1e6 * span - span
-    base = 2000.0 * (1.0 + (i % 307)).astype(np.float64)
-    NP = 16
-    k = np.arange(NP)
-    ang = 2 * np.pi * k / NP
-    wob = 0.35 + 0.65 * (((i[:, None] * 31 + k * 17) % 97) / 97.0)
-    r = base[:, None] * wob
-    px = np.empty((n, NP + 1))
-    py = np.empty((n, NP + 1))
-    px[:, :NP] = cx[:, None] + r * np.cos(ang)
-    py[:, :NP] = cy[:, None] + r * np.sin(ang)
-    rev = (i % 3) == 0
-    px[rev, :NP] = px[rev, :NP][:, ::-1]
-    py[rev, :NP] = py[rev, :NP][:, ::-1]
-    px[:, NP] = px[:, 0]
-    py[:, NP] = py[:, 0]
     wl = 9 + 4 + 17 * 16
     buf = np.empty((n, wl), np.uint8)
     buf[:, 0] = 1
