@@ -194,7 +194,7 @@ class TestBatchParityFuzz:
         def rand_geom():
             kind = rng.choice(["ls", "poly", "mls", "mp", "concave",
                                "grid", "hole", "closedls", "star",
-                               "dupheavy", "weird"])
+                               "dupheavy", "weird", "pinch"])
             cx = rng.uniform(-MERC_MAX, MERC_MAX)
             cy = rng.uniform(-MERC_MAX, MERC_MAX)
             s = rng.uniform(1e2, 2e7)
@@ -220,6 +220,24 @@ class TestBatchParityFuzz:
                 ps = [pt() for _ in range(rng.randint(3, 6))]
                 ps.append(ps[0])
                 return ("LineString", ps)
+            if kind == "pinch":
+                # two wobbly lobes joined at ONE repeated vertex — the
+                # shape class whose dissolve SPLITS (regression: the
+                # wind-only repair must not claim these)
+                p0 = pt()
+                lobes = []
+                for sgn in (1.0, -1.0):
+                    npts = rng.randint(3, 6)
+                    lob = [(p0[0] + sgn * abs(rng.uniform(0.2, 1)) * s
+                            * math.cos(2 * math.pi * k / npts - 0.8),
+                            p0[1] + rng.uniform(-0.6, 1) * s
+                            * math.sin(2 * math.pi * k / npts))
+                           for k in range(1, npts)]
+                    lobes.append(lob)
+                ps = [p0] + lobes[0] + [p0] + lobes[1] + [p0]
+                if rng.random() < 0.5:
+                    ps = ps[::-1]
+                return ("Polygon", [ps])
             if kind == "dupheavy":
                 base = [pt() for _ in range(4)]
                 ps = []
