@@ -593,3 +593,9 @@ class TestBlockedIntersectionScreen:
         blocked = B._self_intersection_flags(u, v, offa, check)
         assert (allpairs == blocked).all()
         assert allpairs.any() and not allpairs.all()
+        # chunk-level pair budget: forcing a flush after nearly every
+        # ring must not change any flag
+        monkeypatch.setattr(B, "_VEC_SEG_CAP", 1024)
+        monkeypatch.setattr(B, "_PAIR_BUDGET", 8)
+        budgeted = B._self_intersection_flags(u, v, offa, check)
+        assert (allpairs == budgeted).all()

@@ -66,6 +66,7 @@ import struct
 import numpy as np
 
 from ..mercator import MERC_MAX
+from .ringbulk import _cumsum0
 from .wkb import wkb_to_geom, geom_to_wkb
 from .remap import remap_geometry
 from .simplify import remove_unneeded_points, simplify, \
@@ -194,8 +195,7 @@ def _parse_rows(ways):
     ring_n = np.asarray(ring_n, dtype=np.int64)
     ring_src = np.asarray(ring_src, dtype=np.int64)
     npts = int(ring_n.sum())
-    off = np.zeros(len(ring_n) + 1, dtype=np.int64)
-    np.cumsum(ring_n, out=off[1:])
+    off = _cumsum0(ring_n)
     within = np.arange(npts, dtype=np.int64) - np.repeat(off[:-1], ring_n)
     pt_byte = np.repeat(ring_src, ring_n) + within * 16
     raw = big[pt_byte[:, None] + np.arange(16)]
@@ -235,8 +235,7 @@ def _drop(st, ring_alive, pt_keep=None):
     else:
         new_sizes_all = np.zeros(0, np.int64)
     new_sizes = new_sizes_all[ring_alive]
-    new_off = np.zeros(len(new_sizes) + 1, dtype=np.int64)
-    np.cumsum(new_sizes, out=new_off[1:])
+    new_off = _cumsum0(new_sizes)
     out = dict(st)
     out["u"] = st["u"][keep_pts]
     out["v"] = st["v"][keep_pts]
@@ -477,23 +476,35 @@ def _rdp_keep_py(xs, ys, e):
 # ------------------------------------------------------- validity screen
 
 _PAIR_CACHE: dict = {}
+_PAIR_CACHE_ELEMS = 0
 
 # all-pairs materialization cap: a ring with more segments than this
 # takes the O(m) -memory row-blocked walk instead (the all-pairs arrays
 # are O(m^2) and a single 20k-vertex coastline ring would otherwise
 # allocate ~2e8-element temporaries and OOM the Python worker)
 _VEC_SEG_CAP = 1024
+# concatenated-pair evaluation budget across a chunk's rings: bounds
+# the I/J/R arrays and the eight coordinate gathers regardless of how
+# many sub-cap rings a chunk holds (512 rings x ~1000 segments would
+# otherwise sum to ~2.5e8 pairs in one evaluation)
+_PAIR_BUDGET = 2_000_000
+# total elements the triu-index cache may retain per worker (~64 MB of
+# int64 at this bound); entries past the budget are built uncached
+_PAIR_CACHE_BUDGET = 4_000_000
 
 
 def _pair_idx(m):
-    """Cached upper-triangle (i < j) index pairs for m segments
-    (m <= _VEC_SEG_CAP, so each cached entry is <= ~0.5M pairs)."""
+    """Upper-triangle (i < j) index pairs for m segments, cached up to
+    a total element budget (m <= _VEC_SEG_CAP, so one entry is at most
+    ~0.5M pairs)."""
+    global _PAIR_CACHE_ELEMS
     got = _PAIR_CACHE.get(m)
     if got is None:
         pi, pj = np.triu_indices(m, k=1)
         got = (pi.astype(np.int64), pj.astype(np.int64))
-        if len(_PAIR_CACHE) < 512:
+        if _PAIR_CACHE_ELEMS + len(pi) <= _PAIR_CACHE_BUDGET:
             _PAIR_CACHE[m] = got
+            _PAIR_CACHE_ELEMS += len(pi)
     return got
 
 
@@ -561,6 +572,24 @@ def _self_intersection_flags(u, v, off, check):
         return flags
     sizes = _sizes(off)
     ii, jj, rr = [], [], []
+    acc = 0
+
+    def flush():
+        nonlocal acc
+        if not ii:
+            return
+        I = np.concatenate(ii)
+        J = np.concatenate(jj)
+        R = np.concatenate(rr)
+        ii.clear()
+        jj.clear()
+        rr.clear()
+        acc = 0
+        bad = _seg_pairs_bad(u[I], v[I], u[I + 1], v[I + 1],
+                             u[J], v[J], u[J + 1], v[J + 1])
+        if bad.any():
+            flags[np.bincount(R[bad], minlength=nring) > 0] = True
+
     for r in rings:
         m = int(sizes[r]) - 1
         if m < 2:
@@ -573,16 +602,10 @@ def _self_intersection_flags(u, v, off, check):
         ii.append(pi + base)
         jj.append(pj + base)
         rr.append(np.full(len(pi), r, dtype=np.int64))
-    if not ii:
-        return flags
-    I = np.concatenate(ii)
-    J = np.concatenate(jj)
-    R = np.concatenate(rr)
-
-    bad = _seg_pairs_bad(u[I], v[I], u[I + 1], v[I + 1],
-                         u[J], v[J], u[J + 1], v[J + 1])
-    if bad.any():
-        flags |= np.bincount(R[bad], minlength=nring) > 0
+        acc += len(pi)
+        if acc >= _PAIR_BUDGET:  # bound the concatenated evaluation
+            flush()
+    flush()
     return flags
 
 
@@ -1023,7 +1046,6 @@ def _vector_lane(st, F, size_mt, x0t, y0t, minx, maxx, miny, maxy,
     if need.any():
         e2 = epsilon * epsilon
         u, v = st["u"], st["v"]
-        ul, vl = u.tolist(), v.tolist()
         keeppt = np.ones(len(u), dtype=bool)
         ring_ok = np.ones(len(sizes), dtype=bool)
         for r in np.flatnonzero(need):
@@ -1032,8 +1054,10 @@ def _vector_lane(st, F, size_mt, x0t, y0t, minx, maxx, miny, maxy,
                 continue
             if e - s < 64:
                 # small rings: numpy per-call overhead loses to a plain
-                # int loop (exact either way)
-                km = _rdp_keep_py(ul[s:e], vl[s:e], e2)
+                # int loop (exact either way); boxed only per-slice —
+                # a whole-chunk tolist would allocate millions of ints
+                # even when every eligible ring takes the numpy path
+                km = _rdp_keep_py(u[s:e].tolist(), v[s:e].tolist(), e2)
                 cnt = sum(km)
             else:
                 km = _rdp_keep(u[s:e], v[s:e], e2)
