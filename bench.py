@@ -277,10 +277,30 @@ def pages_to_features(geo):
         F.col("mx").alias("xmax"), F.col("my").alias("ymax"))
 
 
+def _cpu_ticks():
+    """(user+nice+system, steal, total) jiffies from /proc/stat, or None.
+
+    Sampled at bench start/end so the output line carries the host
+    weather it ran under: this sandbox's host is time-shared, and the
+    same commit has measured 2-4x apart minutes apart (see
+    BENCH/BASELINE.md "host weather control"). steal_pct is hypervisor
+    time taken from this VM; with it near zero a slow run means a cause
+    inside the measured code, with it high the numbers are weather."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        busy = v[0] + v[1] + v[2]
+        steal = v[7] if len(v) > 7 else 0
+        return busy, steal, sum(v)
+    except Exception:
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    ticks0 = _cpu_ticks()
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -582,6 +602,13 @@ def main():
             extra[f"error_{name}"] = str(e)[:120]
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1 and ticks1[2] > ticks0[2]:
+        dt = ticks1[2] - ticks0[2]
+        extra["host_steal_pct"] = round(
+            100.0 * (ticks1[1] - ticks0[1]) / dt, 2)
+        extra["host_busy_pct"] = round(
+            100.0 * (ticks1[0] - ticks0[0]) / dt, 2)
     result = {
         "metric": "tiles/sec + joined-rows/sec (geotag->extract->z0-%d MVT "
                   "pyramid; PIP + kNN joins)" % MAXZOOM,
