@@ -183,112 +183,120 @@ class TestBatchParityTargeted:
         assert out is not None and set(out["tag"]) == {"t0"}
 
 
+def make_rand_geom(rng):
+    """The fuzz diet: one callable returning a random geometry
+    (or None) per call — shared by TestBatchParityFuzz and the
+    end-to-end parity probe in tools/fuzz_e2e_parity.py."""
+    def snap(x, g):
+        return round(x / g) * g
+
+    def rand_geom():
+        kind = rng.choice(["ls", "poly", "mls", "mp", "concave",
+                           "grid", "hole", "closedls", "star",
+                           "dupheavy", "weird", "pinch"])
+        cx = rng.uniform(-MERC_MAX, MERC_MAX)
+        cy = rng.uniform(-MERC_MAX, MERC_MAX)
+        s = rng.uniform(1e2, 2e7)
+        grid = rng.choice([None, 1e3, 1e5])
+
+        def pt():
+            x = cx + rng.uniform(-s, s)
+            y = cy + rng.uniform(-s, s)
+            if grid:
+                x, y = snap(x, grid), snap(y, grid)
+            return (x, y)
+
+        if kind == "weird":
+            r = rng.random()
+            if r < 0.25:
+                return None
+            if r < 0.5:
+                return ("Point", (cx, cy))
+            if r < 0.75:
+                return ("MultiPoint", [pt() for _ in range(3)])
+            return ("LineString", [pt()])
+        if kind == "closedls":
+            ps = [pt() for _ in range(rng.randint(3, 6))]
+            ps.append(ps[0])
+            return ("LineString", ps)
+        if kind == "pinch":
+            # two wobbly lobes joined at ONE repeated vertex — the
+            # shape class whose dissolve SPLITS (regression: the
+            # wind-only repair must not claim these)
+            p0 = pt()
+            lobes = []
+            for sgn in (1.0, -1.0):
+                npts = rng.randint(3, 6)
+                lob = [(p0[0] + sgn * abs(rng.uniform(0.2, 1)) * s
+                        * math.cos(2 * math.pi * k / npts - 0.8),
+                        p0[1] + rng.uniform(-0.6, 1) * s
+                        * math.sin(2 * math.pi * k / npts))
+                       for k in range(1, npts)]
+                lobes.append(lob)
+            ps = [p0] + lobes[0] + [p0] + lobes[1] + [p0]
+            if rng.random() < 0.5:
+                ps = ps[::-1]
+            return ("Polygon", [ps])
+        if kind == "dupheavy":
+            base = [pt() for _ in range(4)]
+            ps = []
+            for p in base:
+                ps.extend([p] * rng.randint(1, 3))
+            ps.append(ps[0])
+            return ("Polygon", [ps])
+        if kind == "ls":
+            return ("LineString",
+                    [pt() for _ in range(rng.randint(2, 30))])
+        if kind == "mls":
+            return ("MultiLineString",
+                    [[pt() for _ in range(rng.randint(2, 8))]
+                     for _ in range(rng.randint(1, 4))])
+        if kind == "star":
+            npts = rng.randint(5, 9)
+            r_ = [(cx + s * math.cos(4 * math.pi * k / npts),
+                   cy + s * math.sin(4 * math.pi * k / npts))
+                  for k in range(npts)]
+            r_.append(r_[0])
+            return ("Polygon", [r_])
+        if kind == "hole":
+            npts = rng.randint(4, 10)
+            ext = ring(cx, cy, s, npts, rev=rng.random() < .5)
+            hole = ring(cx, cy, 0.3 * s, 5, rev=rng.random() < .5)
+            return ("Polygon", [ext, hole])
+        if kind in ("poly", "concave", "grid"):
+            npts = rng.randint(3, 24)
+            r_ = []
+            for k in range(npts):
+                a = 2 * math.pi * k / npts
+                rr = s * (rng.uniform(0.2, 1.0)
+                          if kind == "concave" else 1.0)
+                x = cx + rr * math.cos(a)
+                y = cy + rr * math.sin(a)
+                if kind == "grid" or grid:
+                    g = grid or 1e4
+                    x, y = snap(x, g), snap(y, g)
+                r_.append((x, y))
+            r_.append(r_[0])
+            if rng.random() < 0.5:
+                r_ = r_[::-1]
+            return ("Polygon", [r_])
+        polys = []
+        for _ in range(rng.randint(1, 4)):
+            npts = rng.randint(3, 8)
+            r0 = rng.uniform(1e3, 2e7)
+            ox = cx + rng.uniform(-s, s)
+            oy = cy + rng.uniform(-s, s)
+            polys.append([ring(ox, oy, r0, npts)])
+        return ("MultiPolygon", polys)
+    return rand_geom
+
+
 class TestBatchParityFuzz:
     @pytest.mark.parametrize("seed", range(6))
     def test_fuzz(self, seed):
         rng = random.Random(seed)
 
-        def snap(x, g):
-            return round(x / g) * g
-
-        def rand_geom():
-            kind = rng.choice(["ls", "poly", "mls", "mp", "concave",
-                               "grid", "hole", "closedls", "star",
-                               "dupheavy", "weird", "pinch"])
-            cx = rng.uniform(-MERC_MAX, MERC_MAX)
-            cy = rng.uniform(-MERC_MAX, MERC_MAX)
-            s = rng.uniform(1e2, 2e7)
-            grid = rng.choice([None, 1e3, 1e5])
-
-            def pt():
-                x = cx + rng.uniform(-s, s)
-                y = cy + rng.uniform(-s, s)
-                if grid:
-                    x, y = snap(x, grid), snap(y, grid)
-                return (x, y)
-
-            if kind == "weird":
-                r = rng.random()
-                if r < 0.25:
-                    return None
-                if r < 0.5:
-                    return ("Point", (cx, cy))
-                if r < 0.75:
-                    return ("MultiPoint", [pt() for _ in range(3)])
-                return ("LineString", [pt()])
-            if kind == "closedls":
-                ps = [pt() for _ in range(rng.randint(3, 6))]
-                ps.append(ps[0])
-                return ("LineString", ps)
-            if kind == "pinch":
-                # two wobbly lobes joined at ONE repeated vertex — the
-                # shape class whose dissolve SPLITS (regression: the
-                # wind-only repair must not claim these)
-                p0 = pt()
-                lobes = []
-                for sgn in (1.0, -1.0):
-                    npts = rng.randint(3, 6)
-                    lob = [(p0[0] + sgn * abs(rng.uniform(0.2, 1)) * s
-                            * math.cos(2 * math.pi * k / npts - 0.8),
-                            p0[1] + rng.uniform(-0.6, 1) * s
-                            * math.sin(2 * math.pi * k / npts))
-                           for k in range(1, npts)]
-                    lobes.append(lob)
-                ps = [p0] + lobes[0] + [p0] + lobes[1] + [p0]
-                if rng.random() < 0.5:
-                    ps = ps[::-1]
-                return ("Polygon", [ps])
-            if kind == "dupheavy":
-                base = [pt() for _ in range(4)]
-                ps = []
-                for p in base:
-                    ps.extend([p] * rng.randint(1, 3))
-                ps.append(ps[0])
-                return ("Polygon", [ps])
-            if kind == "ls":
-                return ("LineString",
-                        [pt() for _ in range(rng.randint(2, 30))])
-            if kind == "mls":
-                return ("MultiLineString",
-                        [[pt() for _ in range(rng.randint(2, 8))]
-                         for _ in range(rng.randint(1, 4))])
-            if kind == "star":
-                npts = rng.randint(5, 9)
-                r_ = [(cx + s * math.cos(4 * math.pi * k / npts),
-                       cy + s * math.sin(4 * math.pi * k / npts))
-                      for k in range(npts)]
-                r_.append(r_[0])
-                return ("Polygon", [r_])
-            if kind == "hole":
-                npts = rng.randint(4, 10)
-                ext = ring(cx, cy, s, npts, rev=rng.random() < .5)
-                hole = ring(cx, cy, 0.3 * s, 5, rev=rng.random() < .5)
-                return ("Polygon", [ext, hole])
-            if kind in ("poly", "concave", "grid"):
-                npts = rng.randint(3, 24)
-                r_ = []
-                for k in range(npts):
-                    a = 2 * math.pi * k / npts
-                    rr = s * (rng.uniform(0.2, 1.0)
-                              if kind == "concave" else 1.0)
-                    x = cx + rr * math.cos(a)
-                    y = cy + rr * math.sin(a)
-                    if kind == "grid" or grid:
-                        g = grid or 1e4
-                        x, y = snap(x, g), snap(y, g)
-                    r_.append((x, y))
-                r_.append(r_[0])
-                if rng.random() < 0.5:
-                    r_ = r_[::-1]
-                return ("Polygon", [r_])
-            polys = []
-            for _ in range(rng.randint(1, 4)):
-                npts = rng.randint(3, 8)
-                r0 = rng.uniform(1e3, 2e7)
-                ox = cx + rng.uniform(-s, s)
-                oy = cy + rng.uniform(-s, s)
-                polys.append([ring(ox, oy, r0, npts)])
-            return ("MultiPolygon", polys)
+        rand_geom = make_rand_geom(rng)
 
         recs = []
         for i in range(200):

@@ -57,22 +57,9 @@ def _prop_columns(df: DataFrame, exclude=("way", "feature_id")):
     return out
 
 
-def _shift_geom(geom, xoff, yoff):
-    typ, data = geom
-    if typ == "Point":
-        return (typ, (data[0] - xoff, data[1] - yoff))
-    if typ == "MultiPoint":
-        return (typ, [(x - xoff, y - yoff) for x, y in data])
-    if typ == "LineString":
-        return (typ, [(x - xoff, y - yoff) for x, y in data])
-    if typ == "MultiLineString":
-        return (typ, [[(x - xoff, y - yoff) for x, y in ls] for ls in data])
-    if typ == "Polygon":
-        return (typ, [[(x - xoff, y - yoff) for x, y in r] for r in data])
-    if typ == "MultiPolygon":
-        return (typ, [[[(x - xoff, y - yoff) for x, y in r] for r in rings]
-                      for rings in data])
-    raise ValueError(typ)
+# per-tile shift (G12): one shared definition in geom.remap, used by
+# the scalar pipeline here, the axis-rect fast path, and the batch lane
+from .geom.remap import shift_geom as _shift_geom  # noqa: E402
 
 
 def _bbox_arrays(ways):
@@ -717,13 +704,9 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
                 chunks.append(b)
             valtabs[g] = b"".join(chunks)
 
-    if kind in ("genpoly", "genline"):
-        res = ringbulk.bulk_frame_ragged_features(
-            *xs, 3 if kind == "genpoly" else 2, prop_tags)
-        if res is None:
-            return None
-        stream, rowlen = res
-        cum = np.concatenate(([0], np.cumsum(rowlen)))
+    def _assemble(stream, cum):
+        # one group-message assembly for every kind: frame slices by
+        # byte offset, per-group value table only when a tag is present
         parts = []
         for g in range(nseg):
             seg = stream[cum[seg_starts[g]]:cum[seg_ends[g]]]
@@ -733,6 +716,15 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
             else:
                 parts.append(header + seg + extbytes)
         return parts
+
+    if kind in ("genpoly", "genline"):
+        res = ringbulk.bulk_frame_ragged_features(
+            *xs, 3 if kind == "genpoly" else 2, prop_tags)
+        if res is None:
+            return None
+        stream, rowlen = res
+        return _assemble(stream,
+                         np.concatenate(([0], np.cumsum(rowlen))))
     if kind == "point":
         stream = mvt.bulk_frame_point_features(xs, ys, prop_tags)
     elif kind == "line":
@@ -788,15 +780,7 @@ def _bulk_encode_point_groups(layer_name, prop, ptype, xs, ys,
         # width recomputation drifted from the framer — never slice a
         # misaligned stream; per-row path is always correct
         return None
-
-    parts = []
-    for g in range(nseg):
-        seg = stream[cum[seg_starts[g]]:cum[seg_ends[g]]]
-        if codes is not None and has_valid[g]:
-            parts.append(header + seg + keybytes + valtabs[g] + extbytes)
-        else:
-            parts.append(header + seg + extbytes)
-    return parts
+    return _assemble(stream, cum)
 
 
 def _mvt_value(v, t):

@@ -68,7 +68,7 @@ import numpy as np
 from ..mercator import MERC_MAX
 from .ringbulk import _cumsum0
 from .wkb import wkb_to_geom, geom_to_wkb
-from .remap import remap_geometry
+from .remap import remap_geometry, shift_geom as _shift
 from .simplify import remove_unneeded_points, simplify, \
     remove_duplicate_points
 from .clip import clip_to_bbox, clip_geometry_to_tiles, \
@@ -322,19 +322,6 @@ def _scalar_chain(geom, stage, size_mt, x0t, y0t, extent_i, buffer_units,
         out.append((tx, ty, _shift(piece, (tx - x0t) * 4096,
                                    (ty - y0t) * 4096)))
     return out
-
-
-def _shift(geom, xoff, yoff):
-    typ, data = geom
-    if typ == "Point":
-        return (typ, (data[0] - xoff, data[1] - yoff))
-    if typ in ("MultiPoint", "LineString"):
-        return (typ, [(x - xoff, y - yoff) for x, y in data])
-    if typ in ("MultiLineString", "Polygon"):
-        return (typ, [[(x - xoff, y - yoff) for x, y in part]
-                      for part in data])
-    return (typ, [[[(x - xoff, y - yoff) for x, y in r] for r in rings]
-                  for rings in data])
 
 
 # -------------------------------------------------------- despike screen

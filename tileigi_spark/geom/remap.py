@@ -100,3 +100,22 @@ def _remap_polygon_rings(rings, minx, maxx, miny, maxy, size):
         if r is not None:
             out.append(r)
     return out
+
+
+def shift_geom(geom, xoff, yoff):
+    """Shift tile-local coordinates by (-xoff, -yoff) — the per-tile
+    origin move after the quadtree slice (G12, lib.rs:688-696). One
+    definition shared by the scalar pipeline (engine.geometry_stage),
+    the axis-rect fast path, and the ragged batch lane."""
+    typ, data = geom
+    if typ == "Point":
+        return (typ, (data[0] - xoff, data[1] - yoff))
+    if typ in ("MultiPoint", "LineString"):
+        return (typ, [(x - xoff, y - yoff) for x, y in data])
+    if typ in ("MultiLineString", "Polygon"):
+        return (typ, [[(x - xoff, y - yoff) for x, y in part]
+                      for part in data])
+    if typ == "MultiPolygon":
+        return (typ, [[[(x - xoff, y - yoff) for x, y in r] for r in rings]
+                      for rings in data])
+    raise ValueError(typ)

@@ -227,11 +227,12 @@ def layout_meta(spark: SparkSession, path: str) -> dict:
 
 
 def is_cell_partitioned(spark: SparkSession, path: str) -> bool:
-    try:
-        fs, hpath = _meta_path(spark, path)
-        return bool(fs.exists(hpath))
-    except Exception:
-        return False
+    # a missing sidecar is a clean False from exists(); an FS error
+    # (bad scheme, auth, transient object-store failure) must PROPAGATE —
+    # swallowing it would route a cell-partitioned table to the raw
+    # parquet read, which double-counts every boundary-duplicated copy
+    fs, hpath = _meta_path(spark, path)
+    return bool(fs.exists(hpath))
 
 
 def read_cell_partitioned(spark: SparkSession, path: str,

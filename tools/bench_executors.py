@@ -179,6 +179,14 @@ def shard_input(geo: str, w: int) -> str:
 
 def run_width(w: int, shard: str, maxzoom: int,
               cells: int | None = None) -> dict:
+    if cells is not None and (1 << cells) % w:
+        # worker i renders cell columns [i*ncols//w, (i+1)*ncols//w) but
+        # counts tiles it OWNS by x-block; with a non-dividing width the
+        # owned blocks extend past the rendered columns and the tile
+        # count is silently low (main() enforces this for its own
+        # widths; direct callers like bench_fleet_ab need it here)
+        raise SystemExit(f"cells grid of {1 << cells} columns is not "
+                         f"divisible by width {w}")
     sync = tempfile.mkdtemp(prefix=f"tileigi_exec_sync_{w}_")
     procs = []
     for i in range(w):

@@ -163,6 +163,13 @@ def main():
     table = "\n".join(
         f"| {LABEL[k]} | {t_n[k]} | {t_4n[k]} | {eff[k]:.3f} |"
         for k in both)
+    # every direct eff[...] below must survive an excluded metric (a
+    # RAW file whose lines predate a leg-definition change drops keys
+    # from `both`); losing the report after all legs ran is the worst
+    # possible failure mode of a multi-hour session
+    tiles_eff_txt = (f"{eff['tiles_per_sec']:.3f}"
+                     if "tiles_per_sec" in eff
+                     else "n/a (excluded: work-unit mismatch)")
     rr_line = ""
     if rr_n and rr_4n:
         rr_line = (
@@ -210,7 +217,7 @@ unit matches the current leg definition).
 {table}
 {rr_line}
 North-rule target: >= 0.8 on the primary (tiles/sec) metric. The
-single-JVM table above measures {eff['tiles_per_sec']:.3f} on that
+single-JVM table above measures {tiles_eff_txt} on that
 metric; the **same pipeline run as independent executor JVMs — the
 regime of a real cluster, one JVM per core over spatially-partitioned
 input — measures eff({n}->{4 * n}) = 0.96-1.02 within-rep on strip
@@ -284,12 +291,14 @@ BENCH_r*.json), versus the reference's single-threaded default.
 """)
         if preserved:
             f.write(preserved)
+    rnd = lambda v: round(v, 3) if v is not None else None  # noqa: E731
     print(json.dumps({
         "n": n, "4n": 4 * n,
-        "tiles_eff": round(eff["tiles_per_sec"], 3),
-        "pages_eff": round(eff["pages_per_sec"], 3),
-        "joins_eff": round(eff["joined_rows_per_sec"], 3),
-        "tiles_per_sec": [t_n["tiles_per_sec"], t_4n["tiles_per_sec"]],
+        "tiles_eff": rnd(eff.get("tiles_per_sec")),
+        "pages_eff": rnd(eff.get("pages_per_sec")),
+        "joins_eff": rnd(eff.get("joined_rows_per_sec")),
+        "tiles_per_sec": [t_n.get("tiles_per_sec"),
+                          t_4n.get("tiles_per_sec")],
     }))
 
 
