@@ -58,18 +58,31 @@ def rows_for_seed(seed: int, n: int):
     return rows
 
 
-def tile_map(spark, rows, parts: int, maxzoom: int):
+def tile_map(spark, rows, parts: int, maxzoom: int, buffer_px: int = 2,
+             gmax: int = 14, metatile_scale: int = 8):
     from tileigi_spark.config import Layer, Layers
     from tileigi_spark.engine import build_tiles
 
     feats = spark.createDataFrame(
         rows, "feature_id long, way binary, tag string").repartition(parts)
     layers = Layers(layers=[Layer(id="fuzz", source="s", minzoom=0,
-                                  maxzoom=14, buffer=2)],
-                    global_maxzoom=14)
-    tiles = build_tiles(spark, {"s": feats}, layers, 0, maxzoom)
+                                  maxzoom=14, buffer=buffer_px)],
+                    global_maxzoom=gmax)
+    tiles = build_tiles(spark, {"s": feats}, layers, 0, maxzoom,
+                        metatile_scale=metatile_scale)
     return {(r["zoom"], r["x"], r["y"]): r["tile_md5"]
             for r in tiles.select("zoom", "x", "y", "tile_md5").collect()}
+
+
+def _cfg_for_seed(seed: int) -> dict:
+    """Rotate non-default engine configs across seeds so the sweep also
+    covers buffer sizes, metatile scales, and the gmax == maxzoom
+    boundary (RDP skipped at the deepest rendered zoom)."""
+    cfgs = ({"buffer_px": 2, "gmax": 14, "metatile_scale": 8},
+            {"buffer_px": 0, "gmax": 14, "metatile_scale": 8},
+            {"buffer_px": 4, "gmax": 14, "metatile_scale": 4},
+            {"buffer_px": 2, "gmax": 6, "metatile_scale": 1})
+    return cfgs[seed % len(cfgs)]
 
 
 def child_main(seed: int, n: int, maxzoom: int):
@@ -79,7 +92,8 @@ def child_main(seed: int, n: int, maxzoom: int):
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    got = tile_map(spark, rows_for_seed(seed, n), 13, maxzoom)
+    got = tile_map(spark, rows_for_seed(seed, n), 13, maxzoom,
+                   **_cfg_for_seed(seed))
     print("TILEMAP " + json.dumps(
         {f"{z}/{x}/{y}": h for (z, x, y), h in got.items()}))
     spark.stop()
@@ -107,8 +121,9 @@ def main():
     fails = 0
     for seed in range(args.seeds):
         rows = rows_for_seed(seed, args.n)
-        a = tile_map(spark, rows, 1, args.maxzoom)
-        b = tile_map(spark, rows, 13, args.maxzoom)
+        cfg = _cfg_for_seed(seed)
+        a = tile_map(spark, rows, 1, args.maxzoom, **cfg)
+        b = tile_map(spark, rows, 13, args.maxzoom, **cfg)
         env = dict(os.environ, SPARK_GRAFT_FORCE_SCALAR_GEOM="1",
                    PYTHONPATH=REPO)
         out = subprocess.run(
@@ -132,7 +147,7 @@ def main():
             if c is None:
                 print(out.stderr[-800:])
         else:
-            print(f"PASS seed={seed} tiles={len(a)} "
+            print(f"PASS seed={seed} tiles={len(a)} cfg={cfg} "
                   f"(1-part == 13-part == forced-scalar child)")
     print(f"e2e parity: {args.seeds - fails}/{args.seeds} seeds clean")
     spark.stop()
