@@ -292,7 +292,12 @@ def make_rand_geom(rng):
 
 
 class TestBatchParityFuzz:
-    @pytest.mark.parametrize("seed", range(6))
+    # 6 baseline seeds + the 7 seeds whose rings hung the unbounded
+    # make_valid noding loop before it was bounded (oscillating rounded
+    # crossing nodes; see validity._make_rings_valid's divergence note)
+    @pytest.mark.parametrize("seed", list(range(6)) + [
+        10552, 11860, 36626, 45872, 45915, 64603, 67715, 73968, 82376,
+        95337])
     def test_fuzz(self, seed):
         rng = random.Random(seed)
 

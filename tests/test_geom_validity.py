@@ -198,6 +198,23 @@ class TestMakeValid:
             [[(3045, 3309), (3044, 3308), (3041, 3310), (3045, 3309)]],
         ])
 
+    def test_oscillating_ring_terminates(self):
+        """Fuzz-found (seed 10552 of the batch-lane fuzz): a pinched ring
+        with crossings whose rounded crossing nodes OSCILLATE — the
+        reference's unbounded noding loop (validity.rs:540-566, its own
+        FIXME) re-adds and re-dissolves the same points forever. The
+        bounded loop must terminate and emit only valid polygons."""
+        ring = [(3469, 351), (3561, 237), (3455, 382), (3403, 356),
+                (3422, 314), (3469, 351), (3387, 350), (3491, 351),
+                (3517, 412), (3469, 351)]
+        out = make_valid(("Polygon", [ring]))
+        # terminated (the old code never returned); every emitted
+        # polygon is individually valid
+        if out is not None:
+            assert out[0] == "MultiPolygon"
+            for rings in out[1]:
+                assert is_valid(("Polygon", rings))
+
 
 class TestAddPoints:
     def test_no_change(self):  # :1621-1624

