@@ -93,3 +93,72 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         return {k: sorted(v) for k, v in out.items()}
 
     assert shape(got) == shape(expected)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("name,files", [
+    # late event extends the open session's start backward
+    ("late_extends_start", [[(1, 1000), (1, 1600)], [(1, 400)]]),
+    # late event more than gap before start -> separate EARLIER session
+    ("late_separate_session", [[(1, 5000), (1, 5600)], [(1, 100)]]),
+    # late event bridges two open sessions into one (3-way merge)
+    ("late_bridges", [[(1, 1000), (1, 5000)], [(1, 2800)]]),
+    # multi-user, duplicate timestamps, reversed arrival order
+    ("mixed", [[(1, 3000), (2, 100), (1, 3000)], [(1, 1100), (2, 2000)],
+               [(1, 2050), (2, 150), (1, 100)]]),
+])
+def test_sessionize_stream_out_of_order_microbatches(spark, tmp_path,
+                                                     name, files):
+    """Late-within-watermark events arriving in LATER microbatches
+    (maxFilesPerTrigger=1 forces one file per microbatch) must still
+    reproduce the batch sessionization exactly — the regression class
+    that broke the single-open-session formulation (it pinned
+    session_start to the first-SEEN event and over-merged events older
+    than start - gap). The interval-merge state is arrival-order
+    invariant."""
+    import datetime
+    import time
+
+    from tileigi_spark.streaming import (sessionize_events_batch,
+                                         sessionize_stream)
+
+    base = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, kind string, "
+              "value double, meta string")
+    src = str(tmp_path / "ooo_events")
+    eid = 0
+    for rows in files:
+        batch = []
+        for uid, offs in rows:
+            batch.append((eid, base + datetime.timedelta(seconds=offs),
+                          uid, "e", 1.0, "{}"))
+            eid += 1
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.05)  # distinct mtimes -> deterministic file order
+    users = {uid for rows in files for uid, _ in rows}
+    spark.createDataFrame(
+        [(10**6 + u, base + datetime.timedelta(days=30), u, "flush",
+          0.0, "{}") for u in users], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    allev = spark.read.parquet(src).filter(F.col("kind") != "flush")
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value_milli"])
+        for r in sessionize_events_batch(allev, gap_seconds=1800).collect())
+
+    stream = (spark.readStream.schema(allev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_seconds=1800)
+         .writeStream.format("memory").queryName(f"ooo_{name}")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value_milli"])
+        for r in spark.sql(f"select * from ooo_{name}").collect()
+        if not (r["n_events"] == 1 and r["sum_value_milli"] == 0))
+    assert got == expected

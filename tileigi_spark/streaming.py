@@ -93,13 +93,25 @@ def sessionize_events_batch(events: DataFrame,
 def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
                       watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
-    (applyInPandasWithState + event-time timeout): per user, an open
-    session lives in the state store; events extend it or close it, and
-    the watermark passing (last_event + gap) flushes it. Outputs match
+    (applyInPandasWithState + event-time timeout). Outputs match
     sessionize_events_batch on a fully-flushed stream INCLUDING the
     absolute session_start/session_end values: both emit whole seconds
     since the fixed _EPOCH0 origin (timezone-free), so batch and stream
-    results are joinable."""
+    results are joinable.
+
+    ARRIVAL-ORDER CORRECTNESS: the state is the full set of OPEN
+    sessions per user (sorted disjoint intervals), and each event
+    interval-merges into it — extending a session backward, forward,
+    opening a new one, or BRIDGING two neighbors into one. A session's
+    set is the connected components of the events under gap-adjacency,
+    which interval merging computes invariantly to insertion order, so
+    any event Spark's watermark admits — including late, out-of-order
+    microbatches — yields exactly the batch result. (A previous
+    single-open-session formulation silently kept session_start pinned
+    to the first-SEEN event and over-merged events older than
+    start - gap; found by an adversarial maxFilesPerTrigger=1 probe,
+    pinned in tests/test_streaming.py.) A session flushes only once the
+    watermark passes last + gap, when no admissible event can attach."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -110,50 +122,74 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800,
 
     out_schema = ("user_id long, session_start long, session_end long, "
                   "n_events long, sum_value_milli long")
-    state_schema = "start long, last long, n long, vm long"
+    state_schema = ("starts array<long>, lasts array<long>, "
+                    "ns array<long>, vms array<long>")
+    gap = gap_seconds
 
     def fn(key, pdfs, state: GroupState):
+        import bisect
+
         uid = int(key[0])
-
-        def emit(start, last, n, vm):
-            return pd.DataFrame({
-                "user_id": [uid], "session_start": [start],
-                "session_end": [last], "n_events": [n],
-                "sum_value_milli": [vm]})
-
-        if state.hasTimedOut:
-            start, last, n, vm = state.get
-            state.remove()
-            yield emit(start, last, n, vm)
-            return
-
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values("ts")
-        ts_s = (rows["ts"].astype("int64") // 1_000_000_000
-                - _EPOCH0_UNIX_S).to_numpy()
-        vms = rows["value"].mul(1000).round().astype("int64").to_numpy()
-
         if state.exists:
-            start, last, n, vm = state.get
+            starts, lasts, ns, vms = (list(x) for x in state.get)
         else:
-            start = last = None
-            n = vm = 0
-        for t, v in zip(ts_s, vms):
-            t, v = int(t), int(v)
-            if start is None:
-                start, last, n, vm = t, t, 1, v
-            elif t - last > gap_seconds:
-                yield emit(start, last, n, vm)
-                start, last, n, vm = t, t, 1, v
-            else:
-                last = max(last, t)
-                n += 1
-                vm += v
-        state.update((start, last, n, vm))
-        # flush when the watermark passes the session's gap horizon
-        # (timeout stays in the engine's epoch-millis clock)
-        state.setTimeoutTimestamp((last + _EPOCH0_UNIX_S + gap_seconds)
-                                  * 1000)
+            starts, lasts, ns, vms = [], [], [], []
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts_s = (rows["ts"].astype("int64") // 1_000_000_000
+                    - _EPOCH0_UNIX_S).to_numpy()
+            ev_vm = rows["value"].mul(1000).round().astype("int64") \
+                .to_numpy()
+            for t, v in zip(ts_s, ev_vm):
+                t, v = int(t), int(v)
+                i = bisect.bisect_right(starts, t)
+                # candidates: predecessor (starts[i-1] <= t) iff within
+                # gap of its end; successor (starts[i] > t) iff within
+                # gap of its start
+                jp = i - 1 if (i > 0 and t <= lasts[i - 1] + gap) else None
+                js = i if (i < len(starts)
+                           and t >= starts[i] - gap) else None
+                if jp is None and js is None:
+                    starts.insert(i, t); lasts.insert(i, t)
+                    ns.insert(i, 1); vms.insert(i, v)
+                elif jp is not None and js is not None:
+                    # t bridges two open sessions -> merge them
+                    starts[jp] = min(starts[jp], t)
+                    lasts[jp] = max(lasts[jp], lasts[js])
+                    ns[jp] += ns[js] + 1
+                    vms[jp] += vms[js] + v
+                    del starts[js], lasts[js], ns[js], vms[js]
+                else:
+                    j = jp if jp is not None else js
+                    starts[j] = min(starts[j], t)
+                    lasts[j] = max(lasts[j], t)
+                    ns[j] += 1
+                    vms[j] += v
+
+        # flush every session no admissible event can extend: an event
+        # with ts below the watermark is dropped by the engine, so once
+        # wm > last + gap the session is final
+        wm_rel = (state.getCurrentWatermarkMs() // 1000) - _EPOCH0_UNIX_S
+        out, keep = [], []
+        for s in zip(starts, lasts, ns, vms):
+            (out if s[1] + gap < wm_rel else keep).append(s)
+        if out:
+            yield pd.DataFrame(
+                {"user_id": [uid] * len(out),
+                 "session_start": [s[0] for s in out],
+                 "session_end": [s[1] for s in out],
+                 "n_events": [s[2] for s in out],
+                 "sum_value_milli": [s[3] for s in out]})
+        if keep:
+            starts, lasts, ns, vms = (list(x) for x in zip(*keep))
+            state.update((starts, lasts, ns, vms))
+            # fires when the watermark passes the earliest gap horizon
+            # (timeout stays in the engine's epoch-millis clock)
+            state.setTimeoutTimestamp(
+                (min(lasts) + _EPOCH0_UNIX_S + gap) * 1000)
+        else:
+            state.remove()
 
     return (events.groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
