@@ -135,6 +135,49 @@ class TestWkb:
             with pytest.raises(ValueError):
                 wkb_to_geom(bad)
 
+    def test_adversarial_raises_valueerror_only(self):
+        """The silent-drop contract (lib.rs:572-579) requires EVERY
+        malformed input to raise ValueError — callers catch exactly
+        that. Regressions found by fuzz: a truncated Multi* COUNT raised
+        struct.error, and a crafted Multi*-of-Multi* chain recursed to
+        RecursionError; both escaped the guards and would fail the task
+        on one corrupted blob."""
+        import pytest
+        cases = {
+            "truncated multi count": b"\x01\x05\x00\x00\x00\x01\x00",
+            "nested multipolygon bomb":
+                b"\x01\x06\x00\x00\x00\x01\x00\x00\x00" * 50000,
+            "wrong member type":
+                b"\x01\x04\x00\x00\x00\x01\x00\x00\x00"
+                b"\x01\x02\x00\x00\x00\x00\x00\x00\x00",
+        }
+        for name, bad in cases.items():
+            with pytest.raises(ValueError):
+                wkb_to_geom(bad)
+        # randomized: truncations and bit-flips of a valid blob must be
+        # a geometry or ValueError, never anything else
+        import random
+        rng = random.Random(3)
+        valid = geom_to_wkb(("MultiPolygon",
+                             [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0),
+                                (0.0, 0.0)]]]))
+        for _ in range(20000):
+            r = rng.random()
+            if r < 0.3:
+                b = bytes(rng.getrandbits(8)
+                          for _ in range(rng.randint(0, 60)))
+            elif r < 0.6:
+                b = valid[:rng.randint(0, len(valid))]
+            else:
+                bb = bytearray(valid)
+                for _ in range(rng.randint(1, 5)):
+                    bb[rng.randrange(len(bb))] = rng.getrandbits(8)
+                b = bytes(bb)
+            try:
+                wkb_to_geom(b)
+            except ValueError:
+                pass
+
 
 class TestMvt:
     def test_varint_zigzag(self):

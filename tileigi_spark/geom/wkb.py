@@ -57,13 +57,36 @@ class _Reader:
         if typ == "Polygon":
             return (typ, self._polygon(e))
         n = self._u32(e)
-        if typ == "MultiPoint":
-            return (typ, [self.read()[1] for _ in range(n)])
-        if typ == "MultiLineString":
-            return (typ, [self.read()[1] for _ in range(n)])
-        return (typ, [self.read()[1] for _ in range(n)])
+        # ISO WKB: Multi* members are exactly the corresponding leaf
+        # type. Enforcing it keeps the contract (malformed -> ValueError,
+        # row dropped) AND bounds recursion: a crafted
+        # MultiPolygon-of-MultiPolygon chain would otherwise recurse to
+        # RecursionError, which escapes the callers' ValueError guards
+        # and fails the task.
+        want = {"MultiPoint": "Point", "MultiLineString": "LineString",
+                "MultiPolygon": "Polygon"}[typ]
+        members = []
+        for _ in range(n):
+            # peek the member's type BEFORE descending: read() recurses
+            # on Multi* headers, so a crafted Multi*-of-Multi* chain
+            # must be rejected here, not after the recursive call
+            buf, pos = self.buf, self.pos
+            if pos + 5 > len(buf):
+                raise ValueError("wkb: truncated member header")
+            e2 = ">" if buf[pos] == 0 else "<"
+            (code2,) = struct.unpack_from(e2 + "I", buf, pos + 1)
+            if (code2 & ~0x20000000) % 1000 != _CODES[want]:
+                raise ValueError(
+                    f"wkb: {typ} member type {code2} != {want}")
+            t2, d2 = self.read()
+            members.append(d2)
+        return (typ, members)
 
     def _u32(self, e):
+        if self.pos + 4 > len(self.buf):
+            # struct.error is NOT a ValueError; an unguarded unpack_from
+            # on a truncated count would escape the silent-drop contract
+            raise ValueError("wkb: truncated count")
         (n,) = struct.unpack_from(e + "I", self.buf, self.pos)
         self.pos += 4
         return n
