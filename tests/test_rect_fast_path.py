@@ -207,3 +207,53 @@ def test_non_rect_ring5_goes_to_leftover():
     frame, leftover = _rects_fast_path(pdf, ["kind"], 32, 8, 14)
     assert frame is None
     assert len(leftover) == 1
+
+
+def test_rect_chunked_equals_whole(monkeypatch):
+    """_rects_fast_path slices oversized batches into _RECT_CHUNK rows
+    (cache-resident temporaries, tools/ab_rect_chunk.py). Unlike the
+    ragged lane's set-equality contract, the rect lane promises
+    ORDER-IDENTICAL output — downstream MVT bytes depend on feature
+    order within a tile — so compare frames row-for-row, and leftover
+    index-for-index, against a whole-batch pass."""
+    import tileigi_spark.engine as E
+
+    rng = np.random.default_rng(99)
+    rows = []
+    for fid in range(300):
+        zoom = int(rng.integers(0, 11))
+        size_mt = min(8, 1 << zoom)
+        n_mt = max((1 << zoom) // size_mt, 1)
+        mtx = int(rng.integers(0, n_mt))
+        mty = int(rng.integers(0, n_mt))
+        span = WORLD / (1 << zoom) * size_mt
+        ox = mtx * span - MERC_MAX
+        oy = MERC_MAX - (mty + 1) * span
+        cx = ox + float(rng.uniform(-0.2, 1.2)) * span
+        cy = oy + float(rng.uniform(-0.2, 1.2)) * span
+        w = float(10 ** rng.uniform(-1, 0.5)) * span / 2
+        h = float(10 ** rng.uniform(-1, 0.5)) * span / 2
+        if fid % 17 == 0:  # sprinkle non-rect ring5 rows: leftover path
+            way = geom_to_wkb(("Polygon", [[(cx, cy), (cx + w, cy + h / 3),
+                                            (cx + w, cy + h), (cx, cy + h),
+                                            (cx, cy)]]))
+            rows.append((way, zoom, mtx, mty, fid, f"kind-{fid % 5}"))
+        else:
+            rows.append(_mk_row(fid, cx - w, cy - h, cx + w, cy + h, zoom,
+                                mtx, mty, start=int(rng.integers(0, 4)),
+                                cw=bool(rng.random() < 0.5)))
+    pdf = pd.DataFrame(
+        rows, columns=["way", "zoom", "mtx", "mty", "feature_id", "kind"])
+
+    monkeypatch.setattr(E, "_RECT_CHUNK", 10 ** 9)
+    fw, lw = E._rects_fast_path(pdf, ["kind"], 32, 8, 14)
+    monkeypatch.setattr(E, "_RECT_CHUNK", 23)
+    fc, lc = E._rects_fast_path(pdf, ["kind"], 32, 8, 14)
+
+    assert len(fw) == len(fc)
+    for col in ("zoom", "x", "y", "feature_id", "kind"):
+        assert fw[col].reset_index(drop=True).equals(
+            fc[col].reset_index(drop=True)), col
+    assert all(bytes(a) == bytes(b) for a, b in zip(fw["geom"], fc["geom"]))
+    assert list(lw.index) == list(lc.index)
+    assert len(lc) == len([r for r in rows if r[4] % 17 == 0])

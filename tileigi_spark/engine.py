@@ -407,6 +407,15 @@ def _is_ring5_geom_wkb(w) -> bool:
             and w[22:38] == w[86:102])
 
 
+# cache-resident slice size for the rect lane, same lever as the ragged
+# lane's _CHUNK_FEATURES (geom/batch.py): measured on this host
+# (tools/ab_rect_chunk.py), the whole-batch rect kernel loses ~1.3x at
+# the 20k Arrow cap to temporaries spilling out of cache. The points
+# lane is deliberately NOT chunked — its working set is ~4x smaller and
+# per-call constants dominate (chunking measured SLOWER there).
+_RECT_CHUNK = 4096
+
+
 def _rects_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
                      metatile_scale: int, global_maxzoom: int):
     """Vectorized pipeline for axis-aligned rectangle polygons (the
@@ -415,10 +424,30 @@ def _rects_fast_path(pdf: pd.DataFrame, prop_names, buffer_units: int,
     candidates whose WKB passed the ring5 header check; rows that are
     not axis-aligned rects are returned for the scalar loop.
 
+    Oversized batches are processed in _RECT_CHUNK-row slices; slice
+    order preserves row order, so output rows (and therefore downstream
+    MVT bytes) are identical to a whole-batch pass.
+
     Returns (frame_or_None, leftover_pdf)."""
     import numpy as np
 
     from .geom.rectfast import rect_pieces, rings_wkb
+
+    if len(pdf) > _RECT_CHUNK:
+        frames, lefts = [], []
+        for s in range(0, len(pdf), _RECT_CHUNK):
+            f, lo = _rects_fast_path(pdf.iloc[s:s + _RECT_CHUNK],
+                                     prop_names, buffer_units,
+                                     metatile_scale, global_maxzoom)
+            if f is not None:
+                frames.append(f)
+            if len(lo):
+                lefts.append(lo)
+        frame = (pd.concat(frames, ignore_index=True) if len(frames) > 1
+                 else frames[0] if frames else None)
+        leftover = (pd.concat(lefts) if len(lefts) > 1
+                    else lefts[0] if lefts else pdf.iloc[0:0])
+        return frame, leftover
 
     n_rows = len(pdf)
     buf = np.frombuffer(b"".join(pdf["way"]), dtype=np.uint8) \
