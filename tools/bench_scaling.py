@@ -187,6 +187,7 @@ def main():
     # regenerations of the primary measurement
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     preserved = ""
+    weather = ""
     if os.path.exists(out_path):
         old = open(out_path).read()
         for marker in ("\n## Round 5:", "\n## Round 4:",
@@ -195,6 +196,14 @@ def main():
             if idx >= 0:
                 preserved = old[idx:]
                 break
+        # the host-weather control section is manually authored between
+        # the primary table and the ceiling section — carry it across
+        # regenerations (it is not derivable from the raw lines alone)
+        widx = old.find("\n## Host weather control")
+        if widx >= 0:
+            wend = old.find("\n## ", widx + 1)
+            if wend >= 0:
+                weather = old[widx:wend].rstrip("\n") + "\n"
     with open(out_path, "w") as f:
         f.write(f"""# BENCH — throughput + N→4N scaling efficiency
 
@@ -235,7 +244,7 @@ tiny-group regime. tools/pipeline_ceiling.py additionally runs the
 engine's own per-batch kernels as INDEPENDENT processes at the same two
 widths — the kernel-level prediction of this span is reported in the
 round-5 section below.
-
+{weather}
 ## Why N={n}: the sandbox's parallel ceiling
 
 The north rule's two-cluster-size criterion is evidenced here with two
