@@ -1274,6 +1274,73 @@ ORDER BY feature_id
 """
 
 
+_RAS_ZOOM, _RAS_RES = 1, 16
+_RAS_NPX = (1 << _RAS_ZOOM) * _RAS_RES
+
+
+def _q_rasterize(spark, sf_dir):
+    """Vector -> raster: doc points onto the (zoom, res) pixel grid;
+    sparse raster rows (raster.rasterize_points, north-rule raster<->vector)."""
+    from tileigi_spark.raster import rasterize_points
+
+    pts = _doc_points(spark, sf_dir)
+    return (rasterize_points(pts, zoom=_RAS_ZOOM, res=_RAS_RES)
+            .orderBy("x", "y", "px", "py"))
+
+
+_RASTERIZE_CELLS_SQL = f"""
+WITH pts AS ({_DOC_POINTS_SQL}),
+gpix AS (
+  SELECT
+    GREATEST(0, LEAST(CAST(FLOOR((mx + {_R_MERC}) / {_R_WORLD} * {_RAS_NPX})
+                           AS BIGINT), {_RAS_NPX - 1})) AS gx,
+    GREATEST(0, LEAST(CAST(FLOOR(({_R_MERC} - my) / {_R_WORLD} * {_RAS_NPX})
+                           AS BIGINT), {_RAS_NPX - 1})) AS gy
+  FROM pts
+),
+cells AS (
+  SELECT gx // {_RAS_RES} AS x, gy // {_RAS_RES} AS y,
+         gx % {_RAS_RES} AS px, gy % {_RAS_RES} AS py,
+         COUNT(*) AS cnt
+  FROM gpix GROUP BY 1, 2, 3, 4
+)"""
+
+_RASTERIZE_SQL = _RASTERIZE_CELLS_SQL + """
+SELECT x, y, px, py, cnt FROM cells ORDER BY x, y, px, py
+"""
+
+
+def _q_raster_vectorize(spark, sf_dir):
+    """Raster -> vector roundtrip: rasterize doc points, then rectangle
+    decomposition of cells with cnt >= 2 (raster.vectorize_raster)."""
+    from tileigi_spark.raster import rasterize_points, vectorize_raster
+
+    pts = _doc_points(spark, sf_dir)
+    ras = rasterize_points(pts, zoom=_RAS_ZOOM, res=_RAS_RES)
+    return (vectorize_raster(ras, threshold=2)
+            .orderBy("x", "y", "px0", "py0", "px1", "py1"))
+
+
+_RASTER_VECTORIZE_SQL = _RASTERIZE_CELLS_SQL + """,
+lit_cells AS (SELECT * FROM cells WHERE cnt >= 2),
+runs AS (
+  SELECT x, y, py, MIN(px) AS px0, MAX(px) AS px1
+  FROM (SELECT *, px - ROW_NUMBER() OVER
+          (PARTITION BY x, y, py ORDER BY px) AS rk FROM lit_cells)
+  GROUP BY x, y, py, rk
+),
+rects AS (
+  SELECT x, y, px0, px1, MIN(py) AS py0, MAX(py) AS py1
+  FROM (SELECT *, py - ROW_NUMBER() OVER
+          (PARTITION BY x, y, px0, px1 ORDER BY py) AS ck FROM runs)
+  GROUP BY x, y, px0, px1, ck
+)
+SELECT x, y, px0, py0, px1, py1,
+       (px1 - px0 + 1) * (py1 - py0 + 1) AS cells
+FROM rects ORDER BY x, y, px0, py0, px1, py1
+"""
+
+
 # ------------------------------------------------------------ entrypoints
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1309,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_pyramid": _q_tiles,
         "multimodal_features": _q_multimodal,
         "cell_read": _q_cell_read,
+        "rasterize": _q_rasterize,
+        "raster_vectorize": _q_raster_vectorize,
     }
 
 
@@ -1342,4 +1411,6 @@ def oracle_sql() -> dict[str, str]:
         # pytest fixtures at two parallelism levels
         "mvt_pyramid": _MVT_PYRAMID_SQL,
         "cell_read": _cell_read_sql(),
+        "rasterize": _RASTERIZE_SQL,
+        "raster_vectorize": _RASTER_VECTORIZE_SQL,
     }
