@@ -1341,6 +1341,52 @@ FROM rects ORDER BY x, y, px0, py0, px1, py1
 """
 
 
+_S2_LEVEL = 12
+
+_S2_BASE_SQL = """
+SELECT doc_id AS key, doc_id % 6 AS face,
+  CAST((doc_id * 7919) % 100000 AS DOUBLE) / 100000.0 * 2.0 - 1.0 AS u,
+  CAST((doc_id * 104729) % 100000 AS DOUBLE) / 100000.0 * 2.0 - 1.0 AS v
+FROM documents
+"""
+
+
+def _q_s2_cells(spark, sf_dir):
+    """S2 cell ids (pure-numpy Hilbert kernel, tileigi_spark/s2.py) at
+    level 12 over deterministic per-doc (face, u, v); the oracle re-runs
+    the same integer recurrence as a generated DuckDB CASE ladder."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def compute(batches):
+        import numpy as np
+
+        from tileigi_spark.s2 import (cell_id, face_ij_to_pos, st_to_ij,
+                                      uv_to_st)
+        for b in batches:
+            doc = b["doc_id"].to_numpy(np.int64)
+            face = doc % 6
+            u = (doc * 7919 % 100000).astype(np.float64) / 100000.0 * 2.0 - 1.0
+            v = (doc * 104729 % 100000).astype(np.float64) / 100000.0 * 2.0 - 1.0
+            i = st_to_ij(uv_to_st(u), _S2_LEVEL)
+            j = st_to_ij(uv_to_st(v), _S2_LEVEL)
+            pos = face_ij_to_pos(face, i, j, _S2_LEVEL)
+            yield pd.DataFrame({
+                "key": doc, "face": face, "i": i, "j": j, "pos": pos,
+                "cell_id": cell_id(face, pos, _S2_LEVEL)})
+
+    out = docs.mapInPandas(
+        compute,
+        schema="key long, face long, i long, j long, pos long, cell_id long")
+    return out.orderBy("key")
+
+
+def _s2_cells_sql() -> str:
+    from tileigi_spark.s2 import s2_pos_sql
+    return s2_pos_sql(_S2_LEVEL, _S2_BASE_SQL) + " ORDER BY key"
+
+
 # ------------------------------------------------------------ entrypoints
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1378,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_read": _q_cell_read,
         "rasterize": _q_rasterize,
         "raster_vectorize": _q_raster_vectorize,
+        "s2_cells": _q_s2_cells,
     }
 
 
@@ -1413,4 +1460,5 @@ def oracle_sql() -> dict[str, str]:
         "cell_read": _cell_read_sql(),
         "rasterize": _RASTERIZE_SQL,
         "raster_vectorize": _RASTER_VECTORIZE_SQL,
+        "s2_cells": _s2_cells_sql(),
     }

@@ -88,8 +88,9 @@ def h3_cell_col(lat, lng, resolution: int):
     adapter seam BASELINE.json's "H3/S2 indexing" names. The library is
     not baked into this container; callers get a clear ImportError (the
     slippy-grid cell_col / latlng_cell_col paths are the always-available
-    equivalents; every join in spatial.py keys on an opaque long, so the
-    schemes are drop-in interchangeable)."""
+    equivalents, and s2.s2_cell_col is a REAL executing S2 implementation
+    with no library dependency; every join in spatial.py keys on an
+    opaque long, so the schemes are drop-in interchangeable)."""
     try:
         import h3  # noqa: F401
     except ImportError as e:
