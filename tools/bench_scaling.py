@@ -102,8 +102,8 @@ def main():
     # is the least-contended sample of the same fixed workload
     runs_n, runs_4n = [], []
     if os.environ.get("SPARK_GRAFT_SCALING_SKIP_RUN"):
-        runs_n = [r for r in prior if r["cpus"] == n]
-        runs_4n = [r for r in prior if r["cpus"] == 4 * n]
+        runs_n = [r for r in prior if r.get("cpus") == n]
+        runs_4n = [r for r in prior if r.get("cpus") == 4 * n]
         prior = []
         if not runs_n or not runs_4n:
             raise SystemExit("SKIP_RUN set but RAW lacks both widths")
@@ -112,7 +112,7 @@ def main():
             runs_n.append(run(n, sf_dir, replicas))
             runs_4n.append(run(4 * n, sf_dir, replicas))
     all_runs = (runs_n + runs_4n
-                + [r for r in prior if r["cpus"] in (n, 4 * n)])
+                + [r for r in prior if r.get("cpus") in (n, 4 * n)])
     # the FIRST current run anchors the workload identity (work-unit
     # counts) — never a folded line, whose leg definitions may be stale
     r_n = runs_n[0]
@@ -125,7 +125,7 @@ def main():
         # cost; taking everything from the single best-tiles run instead
         # would charge other phases with whatever host weather hit that
         # particular rep
-        pool = runs + [r for r in prior if r["cpus"] == cpus]
+        pool = runs + [r for r in prior if r.get("cpus") == cpus]
         out = {}
         for k, nk in COUNT_KEY.items():
             ref_n = ref["throughput"].get(nk)
