@@ -63,7 +63,12 @@ def run(cpus: int, sf_dir: str, replicas: int) -> dict:
         lines = out.stdout.strip().splitlines()
         if lines:
             try:
-                return json.loads(lines[-1])
+                rec = json.loads(lines[-1])
+                # crash-proof raw capture: a later fold/report bug must
+                # never lose an hour of completed legs again
+                with open("/tmp/scaling_session_raw.jsonl", "a") as rf:
+                    rf.write(json.dumps(rec) + "\n")
+                return rec
             except json.JSONDecodeError:
                 # a leg that crashed after emitting partial stdout (or a
                 # JVM line polluting it) counts as a failed attempt, not
