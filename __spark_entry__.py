@@ -1341,6 +1341,30 @@ FROM rects ORDER BY x, y, px0, py0, px1, py1
 """
 
 
+def _q_raster_pyramid(spark, sf_dir):
+    """Raster overview build: one downsample step of the zoom-1 raster
+    (2x2 pixel blocks sum into the zoom-0 raster; raster.downsample_raster)."""
+    from tileigi_spark.raster import downsample_raster, rasterize_points
+
+    pts = _doc_points(spark, sf_dir)
+    ras = rasterize_points(pts, zoom=_RAS_ZOOM, res=_RAS_RES)
+    return (downsample_raster(ras, res=_RAS_RES)
+            .orderBy("x", "y", "px", "py"))
+
+
+_RASTER_PYRAMID_SQL = _RASTERIZE_CELLS_SQL + f""",
+halved AS (
+  SELECT (x * {_RAS_RES} + px) // 2 AS gx,
+         (y * {_RAS_RES} + py) // 2 AS gy, cnt
+  FROM cells
+)
+SELECT gx // {_RAS_RES} AS x, gy // {_RAS_RES} AS y,
+       gx % {_RAS_RES} AS px, gy % {_RAS_RES} AS py,
+       SUM(cnt) AS cnt
+FROM halved GROUP BY 1, 2, 3, 4 ORDER BY x, y, px, py
+"""
+
+
 _S2_LEVEL = 12
 
 _S2_BASE_SQL = """
@@ -1424,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_read": _q_cell_read,
         "rasterize": _q_rasterize,
         "raster_vectorize": _q_raster_vectorize,
+        "raster_pyramid": _q_raster_pyramid,
         "s2_cells": _q_s2_cells,
     }
 
@@ -1460,5 +1485,6 @@ def oracle_sql() -> dict[str, str]:
         "cell_read": _cell_read_sql(),
         "rasterize": _RASTERIZE_SQL,
         "raster_vectorize": _RASTER_VECTORIZE_SQL,
+        "raster_pyramid": _RASTER_PYRAMID_SQL,
         "s2_cells": _s2_cells_sql(),
     }

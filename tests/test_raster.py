@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from tileigi_spark.mercator import MERC_MAX
 from tileigi_spark.raster import (
     WORLD,
+    downsample_raster,
     raster_band,
     rasterize_points,
     rect_merc_bounds,
@@ -144,6 +145,35 @@ class TestVectorize:
         got = {(r.px0, r.py0, r.px1, r.py1)
                for r in vectorize_raster(ras).collect()}
         assert got == {(0, 0, 2, 0), (0, 1, 0, 1)}
+
+
+class TestDownsample:
+    def test_matches_direct_rasterize_at_parent_zoom(self, spark):
+        """One overview step of the zoom-z raster equals rasterizing the
+        original points at zoom z-1 (when res is even and the grids
+        nest, which they do: global pixel index exactly halves)."""
+        pts = _points(spark, n=500, seed=17)
+        child = rasterize_points(pts, zoom=3, res=8)
+        got = {(r.x, r.y, r.px, r.py): r.cnt
+               for r in downsample_raster(child, res=8).collect()}
+        want = {(r.x, r.y, r.px, r.py): r.cnt
+                for r in rasterize_points(pts, zoom=2, res=8).collect()}
+        assert got == want
+
+    def test_total_preserved_across_levels(self, spark):
+        pts = _points(spark, n=300, seed=19)
+        ras = rasterize_points(pts, zoom=4, res=4)
+        for _ in range(3):
+            ras = downsample_raster(ras, res=4)
+            assert ras.agg(F.sum("cnt")).collect()[0][0] == 300
+
+    def test_value_band_sums_through(self, spark):
+        pts = _points(spark, n=200, seed=21).withColumn(
+            "w", (F.col("pid") % 7).cast("long"))
+        ras = rasterize_points(pts, zoom=2, res=8, value="w")
+        down = downsample_raster(ras, res=8, value="val")
+        assert down.agg(F.sum("val")).collect()[0][0] == sum(
+            i % 7 for i in range(200))
 
 
 class TestBandAndBounds:

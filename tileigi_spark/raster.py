@@ -103,6 +103,30 @@ def vectorize_raster(raster: DataFrame, threshold: int = 1,
                      * (F.col("py1") - F.col("py0") + 1)).alias("cells")))
 
 
+def downsample_raster(raster: DataFrame, res: int, cnt: str = "cnt",
+                      value: str | None = None) -> DataFrame:
+    """Raster overview/pyramid step: aggregate each 2x2 pixel block of the
+    zoom-z raster into one pixel of the zoom-(z-1) raster (the standard
+    overview build, run bottom-up once per level). Pure integer column
+    arithmetic + one hash agg: global pixel (gx, gy) halves, and the tile
+    and within-tile pixel re-derive from the halved global coordinate —
+    so 4 sibling tiles fold into 1 parent tile with the same `res`.
+    Counts (and an optional value band) sum."""
+    gx = F.shiftright((F.col("x") * res + F.col("px")).cast("long"), 1)
+    gy = F.shiftright((F.col("y") * res + F.col("py")).cast("long"), 1)
+    keyed = raster.select(
+        (gx / res).cast("long").alias("x"),
+        (gy / res).cast("long").alias("y"),
+        F.pmod(gx, F.lit(res)).alias("px"),
+        F.pmod(gy, F.lit(res)).alias("py"),
+        F.col(cnt).alias("_c"),
+        *([F.col(value).alias("_v")] if value else []))
+    aggs = [F.sum("_c").alias(cnt)]
+    if value:
+        aggs.append(F.sum("_v").alias(value))
+    return keyed.groupBy("x", "y", "px", "py").agg(*aggs)
+
+
 def raster_band(raster: DataFrame, res: int, cnt: str = "cnt") -> DataFrame:
     """Assemble the sparse raster into one dense row-major band per tile:
     (x, y, band array<long> of res*res). JVM HOFs only (map_from_entries

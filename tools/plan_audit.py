@@ -193,6 +193,65 @@ def main():
         "greatest() comparison — no shuffle, no Python.\n\n```\n"
         + p_cr[:3000] + "\n```\n")
 
+    # 6. rasterize: pure Catalyst pixel keying + ONE hash-agg shuffle with
+    # map-side partial aggregation — no Python anywhere
+    from tileigi_spark.raster import rasterize_points, vectorize_raster
+    ras = rasterize_points(pts.withColumnRenamed("doc_id", "pid"),
+                           zoom=2, res=16)
+    p_ras = plan_of(ras)
+    checks.append(("rasterize (vector -> raster)",
+                   "free of Python/Arrow nodes (pure codegen keying)",
+                   "Python" not in p_ras and "MapInPandas" not in p_ras
+                   and "ArrowEval" not in p_ras))
+    checks.append(("rasterize (vector -> raster)",
+                   "exactly 1 hash exchange (the pixel-key groupBy)",
+                   p_ras.count("Exchange hashpartitioning") == 1))
+    checks.append(("rasterize (vector -> raster)",
+                   "map-side partial aggregation before the shuffle",
+                   "partial_count" in p_ras))
+    sections.append(
+        "## rasterize (one shuffle, map-side combine)\n\nPoint -> pixel "
+        "keying is pure column arithmetic fused with the scan; the only "
+        "shuffle is the pixel-key hash aggregate, partially aggregated "
+        "map-side, so the exchange carries at most one row per lit cell "
+        "per input partition — not one per point.\n\n```\n"
+        + p_ras[:2500] + "\n```\n")
+
+    # 6b. vectorize_raster: two keyed gaps-and-islands windows — fine
+    # partition keys (a raster row / an x-extent), never a global window,
+    # and no Python nodes
+    vec = vectorize_raster(ras, threshold=2)
+    p_vec = plan_of(vec)
+    checks.append(("vectorize_raster (raster -> vector)",
+                   "free of Python/Arrow nodes",
+                   "Python" not in p_vec and "MapInPandas" not in p_vec))
+    checks.append(("vectorize_raster (raster -> vector)",
+                   "both windows partition on fine keys (py / px0,px1), "
+                   "no single-partition global window",
+                   "Exchange SinglePartition" not in p_vec
+                   and p_vec.count("Window") >= 2))
+    sections.append(
+        "## vectorize_raster (keyed windows only)\n\nThe rectangle "
+        "decomposition's two ROW_NUMBER windows partition on "
+        "(x, y, py) and (x, y, px0, px1) — millions of tiny partitions "
+        "at planet scale, never Exchange SinglePartition.\n\n```\n"
+        + p_vec[:2500] + "\n```\n")
+
+    # 7. s2_cells: the Hilbert kernel is BY DESIGN one Arrow-batched
+    # MapInPandas (numpy table lookups); the scan must be pruned to the
+    # single key column it needs
+    s2q = em._q_s2_cells(spark, SF)
+    p_s2 = formatted(s2q)
+    checks.append(("s2 cells", "exactly 1 MapInPandas (one Arrow pass)",
+                   len(re.findall(r"\(\d+\) MapInPandas", p_s2)) == 1))
+    checks.append(("s2 cells", "scan pruned to doc_id only",
+                   "ReadSchema: struct<doc_id:bigint>" in p_s2))
+    sections.append(
+        "## s2 cell ids (single Arrow pass over a pruned scan)\n\nThe "
+        "numpy Hilbert kernel runs as ONE MapInPandas; column pruning "
+        "reaches the parquet scan (only doc_id is read).\n\n```\n"
+        + p_s2[:2500] + "\n```\n")
+
     out = ["# PLANS — physical-plan hygiene audit\n",
            "Generated by tools/plan_audit.py. Checks:\n"]
     failed = 0
