@@ -234,13 +234,15 @@ North-rule target: >= 0.8 on the primary (tiles/sec) metric. The
 single-JVM table above measures {tiles_eff_txt} on that
 metric; the **same pipeline run as independent executor JVMs — the
 regime of a real cluster, one JVM per core over spatially-partitioned
-input — measures eff({n}->{4 * n}) = 0.96-1.02 within-rep on strip
-shards (0.85 on the cell layout, whose narrow leg is 1.33-1.42x
+input — measures best-of eff({n}->{4 * n}) = **0.975** on strip shards
+(calm-window close-out rerun, within-rep 0.975/1.018; an earlier
+noisy window measured 0.805, and the paired A/B measured 0.96-1.02
+within-rep; 0.85 on the cell layout, whose narrow leg is 1.33-1.42x
 faster absolute — the ratio penalizes the faster baseline)**, with
 fleet absolute bests of 3,574 tiles/s at 2 JVMs and 12,144 tiles/s at
 8 (tools/bench_executors.py + tools/bench_fleet_ab.py; full design,
 raw legs, and caveats in "Executor-fleet scaling" and the paired A/B
-section below; an earlier noisier window measured 0.805). The
+section below). The
 polygon-dense and 3-layer legs (round 4) exercise the S-H clip /
 quadtree slice / make_valid chain and the per-tile layer merge at the
 same two parallelism levels; the concave-polygon and z0-z14 bbox legs
