@@ -1411,6 +1411,60 @@ def _s2_cells_sql() -> str:
     return s2_pos_sql(_S2_LEVEL, _S2_BASE_SQL) + " ORDER BY key"
 
 
+_S2_PARENT_LEVEL = 6
+
+
+def _q_s2_rollup(spark, sf_dir):
+    """Hierarchical aggregation on packed S2 ids: count level-12 doc
+    cells per level-6 ancestor, the parent computed by integer
+    arithmetic on the id alone (s2.cell_id_parent — no curve recompute).
+    The oracle derives the same parent arithmetically from (face, pos)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def compute(batches):
+        import numpy as np
+
+        from tileigi_spark.s2 import (cell_id, cell_id_parent,
+                                      face_ij_to_pos, st_to_ij, uv_to_st)
+        for b in batches:
+            doc = b["doc_id"].to_numpy(np.int64)
+            face = doc % 6
+            u = (doc * 7919 % 100000).astype(np.float64) / 100000.0 * 2.0 - 1.0
+            v = (doc * 104729 % 100000).astype(np.float64) / 100000.0 * 2.0 - 1.0
+            i = st_to_ij(uv_to_st(u), _S2_LEVEL)
+            j = st_to_ij(uv_to_st(v), _S2_LEVEL)
+            ids = cell_id(face, face_ij_to_pos(face, i, j, _S2_LEVEL),
+                          _S2_LEVEL)
+            yield pd.DataFrame({
+                "parent_id": cell_id_parent(ids, _S2_LEVEL,
+                                            _S2_PARENT_LEVEL)})
+
+    cells = docs.mapInPandas(compute, schema="parent_id long")
+    return (cells.groupBy("parent_id").agg(F.count("*").alias("n_docs"))
+            .orderBy("parent_id"))
+
+
+def _s2_rollup_sql() -> str:
+    from tileigi_spark.s2 import s2_pos_sql
+    drop = 4 ** (_S2_LEVEL - _S2_PARENT_LEVEL)
+    shift = 2 * (30 - _S2_PARENT_LEVEL)
+    marker = 1 << shift
+    inner = s2_pos_sql(_S2_LEVEL, _S2_BASE_SQL)
+    return f"""
+WITH lvl AS ({inner}),
+parents AS (
+  SELECT CASE WHEN face >= 4 THEN (face - 8) * {1 << 61}
+              ELSE face * {1 << 61} END
+         + (pos // {drop}) * {marker * 2} + {marker} AS parent_id
+  FROM lvl
+)
+SELECT parent_id, COUNT(*) AS n_docs
+FROM parents GROUP BY 1 ORDER BY parent_id
+"""
+
+
 # ------------------------------------------------------------ entrypoints
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1450,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": _q_raster_vectorize,
         "raster_pyramid": _q_raster_pyramid,
         "s2_cells": _q_s2_cells,
+        "s2_rollup": _q_s2_rollup,
     }
 
 
@@ -1487,4 +1542,5 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": _RASTER_VECTORIZE_SQL,
         "raster_pyramid": _RASTER_PYRAMID_SQL,
         "s2_cells": _s2_cells_sql(),
+        "s2_rollup": _s2_rollup_sql(),
     }

@@ -17,7 +17,9 @@ from tileigi_spark.s2 import (
     cell_center_latlng,
     cell_id,
     cell_id_level,
+    cell_id_parent,
     cell_id_to_face_pos,
+    cell_range,
     face_ij_to_pos,
     face_uv_to_xyz,
     latlng_to_cell,
@@ -166,6 +168,56 @@ class TestCellId:
         assert f[2] == 3 and f[3] == 3
         assert abs(clat[0] - clat[1]) < 0.2
         assert abs((clng[0] - clng[1] + 180) % 360 - 180) < 0.2
+
+
+class TestHierarchy:
+    def test_parent_equals_direct_computation(self):
+        rng = np.random.default_rng(7)
+        lat = (rng.random(1500) - 0.5) * 170
+        lng = (rng.random(1500) - 0.5) * 360
+        ids12 = latlng_to_cell(lat, lng, 12)
+        for pl in (0, 4, 6, 11, 12):
+            assert np.array_equal(cell_id_parent(ids12, 12, pl),
+                                  latlng_to_cell(lat, lng, pl))
+
+    def test_parent_level_decodes(self):
+        ids = latlng_to_cell(np.array([10.0, -40.0]), np.array([5.0, 99.0]),
+                             20)
+        p = cell_id_parent(ids, 20, 8)
+        assert np.all(cell_id_level(p) == 8)
+
+    def test_parent_above_level_raises(self):
+        ids = latlng_to_cell(np.array([1.0]), np.array([1.0]), 5)
+        with pytest.raises(ValueError):
+            cell_id_parent(ids, 5, 6)
+
+    def test_range_contains_exactly_the_descendants(self):
+        rng = np.random.default_rng(8)
+        lat = (rng.random(2000) - 0.5) * 170
+        lng = (rng.random(2000) - 0.5) * 360
+        child = latlng_to_cell(lat, lng, 14)
+        parent = cell_id_parent(child, 14, 6)
+        for k in range(0, 2000, 400):
+            lo, hi = cell_range(parent[k:k + 1])
+            inside = (child >= lo[0]) & (child <= hi[0])
+            same = parent == parent[k]
+            assert np.array_equal(inside, same), (
+                "signed BETWEEN must select exactly the descendants")
+
+    def test_range_width_matches_level(self):
+        ids = latlng_to_cell(np.array([33.0]), np.array([-120.0]), 10)
+        lo, hi = cell_range(ids)
+        # a level-10 cell contains 4^20 leaves, each 2 id-units apart
+        assert int(hi[0]) - int(lo[0]) == 2 * (4 ** 20) - 2
+
+    def test_face4_range_stays_signed_consistent(self):
+        # face 4 ids are negative in the signed view; the range must not
+        # wrap across the sign boundary
+        ids = latlng_to_cell(np.array([0.0]), np.array([-90.0]), 3)
+        f, _ = cell_id_to_face_pos(ids, 3)
+        assert f[0] == 4
+        lo, hi = cell_range(ids)
+        assert lo[0] < hi[0] < 0
 
 
 class TestSqlParity:
