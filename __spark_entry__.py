@@ -1360,7 +1360,7 @@ halved AS (
 )
 SELECT gx // {_RAS_RES} AS x, gy // {_RAS_RES} AS y,
        gx % {_RAS_RES} AS px, gy % {_RAS_RES} AS py,
-       SUM(cnt) AS cnt
+       CAST(SUM(cnt) AS BIGINT) AS cnt
 FROM halved GROUP BY 1, 2, 3, 4 ORDER BY x, y, px, py
 """
 
