@@ -23,6 +23,7 @@ amortizes per-tile overhead across whole Arrow batches.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Optional
 
 import numpy as np
@@ -826,46 +827,15 @@ def _mvt_value(v, t):
     return str(v)
 
 
-def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
-                  salt_zoom_max: int = 4, n_salts: int = 16,
-                  shuffle_parts: Optional[int] = None) -> DataFrame:
-    """A1: salted partial layer encode. One shuffle: repartition by
-    (zoom,x,y,salt) + sortWithinPartitions, then a mapInPandas pass that
-    walks the sorted stream and encodes one partial MVT layer message per
-    contiguous (tile, salt, layer) run — per-group overhead is amortized
-    across the whole Arrow batch (the reason this is mapInPandas and not
-    applyInPandas). Canonical feature order (salt, layer_order, feature_id)
-    is partitioning-independent, so tile bytes are deterministic at any
-    parallelism (O9/O13).
+_PARTIAL_SCHEMA = ("zoom int, x long, y long, salt int, layer_order int, "
+                   "layer string, part binary")
 
-    pieces: unioned per-layer outputs of geometry_stage with layer_id /
-    layer_order columns. prop_types: layer_id -> {col -> Spark type}.
 
-    shuffle_parts: explicit partition count for the exchange. The encode
-    walk is Python-bound, so wave packing dominates wall time: with
-    partitions ~= cores, one straggler task idles every other core
-    (measured 5.3/8 cores busy at 14 tasks); at ~4-8x cores the tail is
-    1/8 of a wave (7.8/8 busy). AQE's parallelismFirst coalescing
-    actively re-creates the coarse case, so callers that know their
-    core count should pass cores*8 (bench.py does); None keeps the
-    spark.sql.shuffle.partitions + AQE behavior.
-    """
-    salt_col = (F.when(F.col("zoom") <= F.lit(salt_zoom_max),
-                       F.pmod(F.col("feature_id"), F.lit(n_salts))
-                       .cast("int"))
-                .otherwise(F.lit(0)))
-    salted = pieces.withColumn("salt", salt_col)
-    if shuffle_parts is None:
-        salted = salted.repartition("zoom", "x", "y", "salt")
-    else:
-        salted = salted.repartition(shuffle_parts,
-                                    "zoom", "x", "y", "salt")
-    salted = salted.sortWithinPartitions("zoom", "x", "y", "salt",
-                                         "layer_order", "feature_id")
-
-    all_props = sorted({p for d in prop_types.values() for p in d})
-    out_schema = ("zoom int, x long, y long, salt int, layer_order int, "
-                  "layer string, part binary")
+def _make_encode_run(prop_types: dict[str, dict], all_props):
+    """The sorted-stream partial-layer encode walk as a reusable
+    mapInPandas function (shared by the salted two-shuffle path and the
+    fused salt-free path — the walk itself is salt-agnostic: salt is
+    just one more run-break column, constant 0 in the fused stream)."""
 
     def run(iterator):
         cur_key = None
@@ -1123,24 +1093,58 @@ def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
         if out["zoom"]:
             yield pd.DataFrame(out)
 
-    return salted.mapInPandas(run, schema=out_schema)
+    return run
 
 
-def assemble_tiles(partials: DataFrame, compress: bool = True,
-                   shuffle_parts: Optional[int] = None) -> DataFrame:
-    """A2: merge salted partials per layer and zip layer messages into
-    per-tile MVT tiles + gzip + md5 (content-address for O12 dedup,
-    fileio.rs:136-148). One shuffle: repartition (zoom,x,y) + sorted
-    mapInPandas walk. shuffle_parts: see encode_layers — same
-    Python-bound wave-packing argument."""
+def encode_layers(pieces: DataFrame, prop_types: dict[str, dict],
+                  salt_zoom_max: int = 4, n_salts: int = 16,
+                  shuffle_parts: Optional[int] = None) -> DataFrame:
+    """A1: salted partial layer encode. One shuffle: repartition by
+    (zoom,x,y,salt) + sortWithinPartitions, then a mapInPandas pass that
+    walks the sorted stream and encodes one partial MVT layer message per
+    contiguous (tile, salt, layer) run — per-group overhead is amortized
+    across the whole Arrow batch (the reason this is mapInPandas and not
+    applyInPandas). Canonical feature order (salt, layer_order, feature_id)
+    is partitioning-independent, so tile bytes are deterministic at any
+    parallelism (O9/O13).
+
+    pieces: unioned per-layer outputs of geometry_stage with layer_id /
+    layer_order columns. prop_types: layer_id -> {col -> Spark type}.
+
+    shuffle_parts: explicit partition count for the exchange. The encode
+    walk is Python-bound, so wave packing dominates wall time: with
+    partitions ~= cores, one straggler task idles every other core
+    (measured 5.3/8 cores busy at 14 tasks); at ~4-8x cores the tail is
+    1/8 of a wave (7.8/8 busy). AQE's parallelismFirst coalescing
+    actively re-creates the coarse case, so callers that know their
+    core count should pass cores*8 (bench.py does); None keeps the
+    spark.sql.shuffle.partitions + AQE behavior.
+    """
+    salt_col = (F.when(F.col("zoom") <= F.lit(salt_zoom_max),
+                       F.pmod(F.col("feature_id"), F.lit(n_salts))
+                       .cast("int"))
+                .otherwise(F.lit(0)))
+    salted = pieces.withColumn("salt", salt_col)
     if shuffle_parts is None:
-        ordered = partials.repartition("zoom", "x", "y")
+        salted = salted.repartition("zoom", "x", "y", "salt")
     else:
-        ordered = partials.repartition(shuffle_parts, "zoom", "x", "y")
-    ordered = ordered.sortWithinPartitions("zoom", "x", "y", "layer_order",
-                                           "layer", "salt")
+        salted = salted.repartition(shuffle_parts,
+                                    "zoom", "x", "y", "salt")
+    salted = salted.sortWithinPartitions("zoom", "x", "y", "salt",
+                                         "layer_order", "feature_id")
 
-    schema = "zoom int, x long, y long, tile binary, tile_md5 string"
+    all_props = sorted({p for d in prop_types.values() for p in d})
+    return salted.mapInPandas(_make_encode_run(prop_types, all_props),
+                              schema=_PARTIAL_SCHEMA)
+
+
+_TILE_SCHEMA = "zoom int, x long, y long, tile binary, tile_md5 string"
+
+
+def _make_assemble_run(compress: bool = True):
+    """The sorted-partials tile-assembly walk (merge + gzip + md5) as a
+    reusable mapInPandas function — shared by the shuffled assemble and
+    the fused path, where the encode output is already tile-contiguous."""
 
     def run(iterator):
         cur_tile = None
@@ -1225,7 +1229,55 @@ def assemble_tiles(partials: DataFrame, compress: bool = True,
         if out["zoom"]:
             yield pd.DataFrame(out)
 
-    return ordered.mapInPandas(run, schema=schema)
+    return run
+
+
+def assemble_tiles(partials: DataFrame, compress: bool = True,
+                   shuffle_parts: Optional[int] = None) -> DataFrame:
+    """A2: merge salted partials per layer and zip layer messages into
+    per-tile MVT tiles + gzip + md5 (content-address for O12 dedup,
+    fileio.rs:136-148). One shuffle: repartition (zoom,x,y) + sorted
+    mapInPandas walk. shuffle_parts: see encode_layers — same
+    Python-bound wave-packing argument."""
+    if shuffle_parts is None:
+        ordered = partials.repartition("zoom", "x", "y")
+    else:
+        ordered = partials.repartition(shuffle_parts, "zoom", "x", "y")
+    ordered = ordered.sortWithinPartitions("zoom", "x", "y", "layer_order",
+                                           "layer", "salt")
+    return ordered.mapInPandas(_make_assemble_run(compress),
+                               schema=_TILE_SCHEMA)
+
+
+def encode_assemble_fused(pieces: DataFrame, prop_types: dict[str, dict],
+                          compress: bool = True,
+                          shuffle_parts: Optional[int] = None) -> DataFrame:
+    """A1+A2 in ONE shuffle for salt-free piece streams (every zoom above
+    salt_zoom_max — the overwhelming tile majority of a deep pyramid).
+
+    With salt constant 0, repartitioning by (zoom, x, y) already lands
+    every piece of a tile in one partition, so the partial-layer encode
+    walk emits exactly one partial per (tile, layer) — and those partial
+    rows leave the encode mapInPandas already tile-contiguous in the
+    canonical order the assembly walk needs. The second exchange + sort
+    of the two-shuffle path exists only to regroup SALTED partials; here
+    it is the identity, so the assembly walk runs narrow, in-stage, right
+    after the encode (guide §2.4: remove shuffles outright). Bytes are
+    identical to the salted path's: one partial per layer merges as the
+    identity, and the per-tile feature order (layer_order, feature_id)
+    is unchanged."""
+    salted = pieces.withColumn("salt", F.lit(0))
+    if shuffle_parts is None:
+        ordered = salted.repartition("zoom", "x", "y")
+    else:
+        ordered = salted.repartition(shuffle_parts, "zoom", "x", "y")
+    ordered = ordered.sortWithinPartitions("zoom", "x", "y",
+                                           "layer_order", "feature_id")
+    all_props = sorted({p for d in prop_types.values() for p in d})
+    partials = ordered.mapInPandas(_make_encode_run(prop_types, all_props),
+                                   schema=_PARTIAL_SCHEMA)
+    return partials.mapInPandas(_make_assemble_run(compress),
+                                schema=_TILE_SCHEMA)
 
 
 def empty_tile_bytes(layers: Layers, zoom: int, compress: bool = True) -> bytes:
@@ -1272,6 +1324,29 @@ def tile_driver(spark: SparkSession, zoom: int,
                     .alias("y")))
 
 
+def _python_stage_parts(spark: SparkSession,
+                        shuffle_parts: Optional[int]) -> Optional[int]:
+    """Clamp a caller's exchange-width hint for the Python-bound encode/
+    assemble stages. Measured at 32 cores on the z0-10 bench leg: each
+    mapInPandas task carries ~25-40 ms of fixed cost (Arrow stream setup,
+    worker round-trip), so 256 partitions of micro-tasks lose ~1-2 s/leg
+    to pure task overhead vs 64 (5.3 s vs 6.4 s warm; 12.7 s at 512) —
+    the round-5 "more waves" tuning predates the vectorized group encode
+    and now overshoots. ~2 tasks/core keeps the tail at half a wave while
+    per-task kernel time stays well above the fixed cost at larger scale
+    factors (tiles/task grows with data; the constant does not).
+    TILEIGI_ENCODE_PARTS_PER_CORE overrides the factor; None stays None
+    (spark.sql.shuffle.partitions + AQE coalescing decide)."""
+    if shuffle_parts is None:
+        return None
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return shuffle_parts
+    per_core = float(os.environ.get("TILEIGI_ENCODE_PARTS_PER_CORE", "2"))
+    return max(1, min(shuffle_parts, int(cores * per_core)))
+
+
 def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
                 layers: Layers, minzoom: int, maxzoom: int, *,
                 metatile_scale: int = 8, salt_zoom_max: int = 4,
@@ -1300,6 +1375,16 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
     bbox_merc = bbox_lonlat_to_merc(bbox) if bbox is not None else None
     tile_ranges = ({z: bbox_tile_range(bbox_merc, z) for z in zooms}
                    if bbox_merc is not None else None)
+    # A pyramid whose zooms all sit above salt_zoom_max never salts, so
+    # the whole piece stream can take the single-shuffle fused
+    # encode+assemble (encode_assemble_fused) — the deep-zoom re-render
+    # workflow. Splitting a MIXED range into salted/salt-free buckets was
+    # tried and rejected with numbers: the duplicated scan+cover work of
+    # the extra branch cost more than the saved exchange (4.22 s vs
+    # 4.01 s best-of-3 on the z0-10 leg), so mixed ranges keep the
+    # two-shuffle salted path.
+    fuse = (os.environ.get("TILEIGI_FUSE", "1") != "0"
+            and minzoom > salt_zoom_max)
     per_layer = []
     prop_types: dict[str, dict] = {}
 
@@ -1322,7 +1407,13 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
             continue
         zoom_filter = getattr(layer, "zoom_filter", None)
         layer_sql = getattr(layer, "sql", None)
-        if layer_sql:
+        if layer_sql and not sql_views_made:
+            for name, df in sources.items():
+                df.createOrReplaceTempView(name)
+            sql_views_made = True
+
+        def _covered_for(zs):
+            """(first source DF, covered DF) for a zoom subset."""
             # SQL-template table source (TableSQL, input/mod.rs:88-123):
             # the layer's SQL runs over the registered source tables.
             # With !zoom!/!scale_denominator! tokens the query is
@@ -1331,35 +1422,27 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
             # the whole zoom range.
             from .config import substitute_sql_tokens
 
-            if not sql_views_made:
-                for name, df in sources.items():
-                    df.createOrReplaceTempView(name)
-                sql_views_made = True
-            if "!" in layer_sql:
-                covered = None
-                src = None
-                for z in layer_zooms:
+            if layer_sql and "!" in layer_sql:
+                cov = None
+                src0 = None
+                for z in zs:
                     src_z = spark.sql(substitute_sql_tokens(layer_sql, z))
-                    if src is None:
-                        src = src_z
+                    if src0 is None:
+                        src0 = src_z
                     cov_z = cover_metatiles(_prep(src_z), [z], layer.buffer,
                                             metatile_scale,
                                             zoom_filter=zoom_filter,
                                             bbox_merc=bbox_merc)
-                    covered = (cov_z if covered is None
-                               else covered.unionByName(cov_z))
-            else:
-                src = spark.sql(layer_sql)
-                covered = cover_metatiles(_prep(src), layer_zooms,
-                                          layer.buffer, metatile_scale,
-                                          zoom_filter=zoom_filter,
-                                          bbox_merc=bbox_merc)
-        else:
-            src = sources[layer.source]
-            covered = cover_metatiles(_prep(src), layer_zooms, layer.buffer,
-                                      metatile_scale,
-                                      zoom_filter=zoom_filter,
-                                      bbox_merc=bbox_merc)
+                    cov = cov_z if cov is None else cov.unionByName(cov_z)
+                return src0, cov
+            src0 = (spark.sql(layer_sql) if layer_sql
+                    else sources[layer.source])
+            return src0, cover_metatiles(_prep(src0), zs, layer.buffer,
+                                         metatile_scale,
+                                         zoom_filter=zoom_filter,
+                                         bbox_merc=bbox_merc)
+
+        src, covered = _covered_for(layer_zooms)
         if metatile_keys is not None:
             covered = covered.join(F.broadcast(metatile_keys),
                                    on=["zoom", "mtx", "mty"],
@@ -1390,10 +1473,16 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
     for other in per_layer[1:]:
         all_pieces = all_pieces.unionByName(other, allowMissingColumns=True)
 
-    partials = encode_layers(all_pieces, prop_types, salt_zoom_max, n_salts,
-                             shuffle_parts=shuffle_parts)
-    tiles = assemble_tiles(partials, compress=compress,
-                           shuffle_parts=shuffle_parts)
+    parts_n = _python_stage_parts(spark, shuffle_parts)
+    if fuse:
+        tiles = encode_assemble_fused(all_pieces, prop_types,
+                                      compress=compress,
+                                      shuffle_parts=parts_n)
+    else:
+        partials = encode_layers(all_pieces, prop_types, salt_zoom_max,
+                                 n_salts, shuffle_parts=parts_n)
+        tiles = assemble_tiles(partials, compress=compress,
+                               shuffle_parts=parts_n)
 
     if include_empty:
         full = None
