@@ -111,6 +111,35 @@ def _pip_refine(px: pd.Series, py: pd.Series, way: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _axis_rect_bounds(geom):
+    """(x0, y0, x1, y1) when `geom` is a single closed 5-point
+    axis-aligned rectangle ring (each edge changes exactly one
+    coordinate, axes alternating), else None. For such rings the
+    even-odd crossing test is EXACTLY the pure-comparison test
+    ((y0>py) != (y1>py)) and ((x0>px) != (x1>px)) — see the caller —
+    which lets the refine run JVM-side."""
+    typ, data = geom
+    if typ == "MultiPolygon" and len(data) == 1:
+        typ, data = "Polygon", data[0]
+    if typ != "Polygon" or len(data) != 1:
+        return None
+    ring = data[0]
+    if len(ring) != 5 or ring[0] != ring[4]:
+        return None
+    moves = []
+    for i in range(4):
+        dx = ring[i + 1][0] != ring[i][0]
+        dy = ring[i + 1][1] != ring[i][1]
+        if dx == dy:  # diagonal or degenerate edge
+            return None
+        moves.append(dx)
+    if moves[0] == moves[1] or moves[1] == moves[2] or moves[2] == moves[3]:
+        return None
+    xs = [p[0] for p in ring[:4]]
+    ys = [p[1] for p in ring[:4]]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
                           index_zoom: int = 7,
                           px_col: str = "mx", py_col: str = "my",
@@ -152,6 +181,7 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
     cell_rows = []
     attr_rows = []
     wkb_by_pid = {}
+    rect_by_pid = {}
     for pid, r in enumerate(rows):
         w = r["way"]
         if w is None:
@@ -165,6 +195,9 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         if not xs:
             continue
         wkb_by_pid[pid] = bytes(w)
+        rect = _axis_rect_bounds(g)
+        if rect is not None:
+            rect_by_pid[pid] = rect
         attr_rows.append((pid, *[r[c] for c in poly_cols]))
         # exact mirror of bbox_cover_cells / cell_col arithmetic
         cx0 = clamp(math.floor((min(xs) + MERC_MAX) / span))
@@ -174,6 +207,38 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame,
         for cx in range(cx0, cx1 + 1):
             for cy in range(cy0, cy1 + 1):
                 cell_rows.append((cx * (1 << 32) + cy, pid))
+
+    if len(rect_by_pid) == len(wkb_by_pid):
+        # Every polygon is a single axis-aligned rectangle ring (the
+        # admin-box / tile-bounds norm): the even-odd refine collapses to
+        # a pure-JVM half-open interval test and the whole join runs as
+        # codegen — no ArrowEvalPython over the candidate stream at all.
+        # Equivalence is exact, not approximate: a vertical edge's
+        # crossing abscissa is exactly x_edge in IEEE terms (x + (py-y)*
+        # 0/dy == x), horizontal edges never cross, so even-odd for the
+        # rect is ((y0>py) != (y1>py)) AND ((x0>px) != (x1>px)) with the
+        # same double comparisons _pip_many evaluates. Attributes ride
+        # the broadcast cell table, saving the second broadcast join.
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+
+        attr_by_pid = {a[0]: a[1:] for a in attr_rows}
+        rect_rows = [(cell, *rect_by_pid[pid], *attr_by_pid[pid])
+                     for cell, pid in cell_rows]
+        schema = StructType(
+            [StructField("cell", LongType(), False)]
+            + [StructField(f"_r{c}", DoubleType(), False)
+               for c in ("x0", "y0", "x1", "y1")]
+            + [polygons.schema[c] for c in poly_cols])
+        rects_df = spark.createDataFrame(rect_rows, schema)
+        px, py = F.col(px_col), F.col(py_col)
+        inside = (((F.col("_ry0") > py) != (F.col("_ry1") > py))
+                  & ((F.col("_rx0") > px) != (F.col("_rx1") > px)))
+        pts = points.withColumn(
+            "cell", cell_col(px, py, index_zoom))
+        out = (pts.join(F.broadcast(rects_df), on="cell", how="inner")
+               .filter(inside))
+        return out.select(*points.columns, *poly_cols)
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -369,8 +434,16 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             # materialize the round's core work exactly ONCE — every
             # downstream use (done-predicate, result append, remainder
             # anti-join) reads the ~k*|queries| materialized rows instead
-            # of re-executing the scan+join+window chain
+            # of re-executing the scan+join+window chain. The
+            # done-predicate windows (_cnt/_kth) ride the SAME sort the
+            # rank window established (equal partition key, no ordering
+            # requirement), so they are computed before the write for
+            # free instead of as a second exchange over the read-back.
             t0 = _time.time()
+            done_w = Window.partitionBy(query_id)
+            ranked = (ranked
+                      .withColumn("_cnt", F.count("*").over(done_w))
+                      .withColumn("_kth", F.max("dist2").over(done_w)))
             round_dirs.append(f"{work}/round_{radius}")
             ranked.write.mode("overwrite").parquet(f"{work}/round_{radius}")
             rr = spark.read.parquet(f"{work}/round_{radius}")
@@ -381,28 +454,29 @@ def knn_join(queries: DataFrame, candidates: DataFrame, k: int,
             span = (2.0 * 20037508.342789244) / n
             safe_d = (radius * span) ** 2
             t0 = _time.time()
-            done_w = Window.partitionBy(query_id)
-            finished = (rr
-                        .withColumn("_cnt", F.count("*").over(done_w))
-                        .withColumn("_kth", F.max("dist2").over(done_w))
-                        .filter((F.col("_cnt") >= k)
-                                & (F.col("_kth") <= safe_d))
+            finished = (rr.filter((F.col("_cnt") >= k)
+                                  & (F.col("_kth") <= safe_d))
                         .drop("_cnt", "_kth"))
             finished.write.mode("append").parquet(out_dir)
             wrote_any = True
             # this round's finished ids only (tiny, broadcast anti-join;
-            # no rescan of the accumulated result table)
+            # no rescan of the accumulated result table). Counting them
+            # closes the common every-query-done round WITHOUT staging a
+            # remainder: n_rem is tracked arithmetically, so the final
+            # round skips the remainder write+read+count cycle.
             done_q = finished.select(query_id).distinct()
+            n_done = done_q.count()
+            if n_done >= n_rem:
+                _dbg(f"radius={radius} all {n_rem} done")
+                break
             nxt = remaining.join(F.broadcast(done_q), on=query_id,
                                  how="left_anti")
             round_dirs.append(f"{work}/rem_{radius}")
             nxt.write.mode("overwrite").parquet(f"{work}/rem_{radius}")
             remaining = spark.read.parquet(f"{work}/rem_{radius}")
-            n_rem = remaining.count()
+            n_rem -= n_done
             _dbg(f"radius={radius} bookkeeping {_time.time() - t0:.1f}s"
                  f" next_rem={n_rem}")
-            if n_rem == 0:
-                break
             # x4 growth clamped at the grid size: each extra round
             # quadruples the guaranteed-safe disk (stragglers converge in
             # O(log4 n) candidate scans), and the clamp guarantees the
