@@ -141,6 +141,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     them) — the old null-signature rows only ever produced candidate
     pairs that the Jaccard verify rejected."""
     fam = _as_family(hash_fn)
+    # NOTE(r6): spreading a single-split corpus here (spread_small with
+    # a small target) was tried and reverted with numbers — the added
+    # exchange + extra codegen stage cost more on a one-shot query than
+    # the single-task aggregate it parallelized (cold dedup_minhash
+    # ~1-2 s WORSE with the spread at sf0.1); plan-compile time, not
+    # row throughput, dominates at this scale.
     # project once per gram BEFORE the aggregate (guarantees one base
     # hash per shingle regardless of codegen CSE), then n_hashes cheap
     # seeded min-aggregates
@@ -347,19 +353,21 @@ def rand_hyperplanes(dim: int, n: int, seed: int = 42):
     return rng.standard_normal((n, dim)).tolist()
 
 
-def spread_small(df: DataFrame) -> DataFrame:
+def spread_small(df: DataFrame, target_bytes: int = 4 << 20) -> DataFrame:
     """Repartition inputs that arrive with fewer partitions than cores
     (the single-file small-table case: every downstream per-row
     expression would otherwise run in ONE task). No-op for corpus-scale
     inputs, which arrive well-partitioned.
 
-    Width is sized from plan statistics (~4 MB per partition, capped at
-    defaultParallelism): unconditionally fanning a tiny table out to all
-    cores was measured as the r2->r3 ann_lsh regression — a 1 MB
-    2000-row corpus ran every downstream stage as 32 near-empty tasks,
-    adding ~1s of pure scheduling per job. The Arrow-batched kernels
-    downstream (matmul keys, cosine) need millions of rows per partition
-    before the extra width pays."""
+    Width is sized from plan statistics (target_bytes per partition,
+    capped at defaultParallelism): unconditionally fanning a tiny table
+    out to all cores was measured as the r2->r3 ann_lsh regression — a
+    1 MB 2000-row corpus ran every downstream stage as 32 near-empty
+    tasks, adding ~1s of pure scheduling per job. The Arrow-batched
+    kernels downstream (matmul keys, cosine) need millions of rows per
+    partition before the extra width pays, so they keep the 4 MB
+    default; hash-heavy text stages (per-gram md5, 64 bit-votes) do
+    ~1 s of work per source MB and pass a smaller target_bytes."""
     sc = df.sparkSession.sparkContext
     cur = df.rdd.getNumPartitions()
     if cur >= sc.defaultParallelism:
@@ -370,7 +378,7 @@ def spread_small(df: DataFrame) -> DataFrame:
                        .sizeInBytes()))
         if 0 < size < (1 << 50):
             target = min(sc.defaultParallelism,
-                         max(cur, (size + (4 << 20) - 1) // (4 << 20)))
+                         max(cur, (size + target_bytes - 1) // target_bytes))
     except Exception:
         pass
     if target > cur:

@@ -540,6 +540,11 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
     Output: (zoom, x, y, feature_id, geom, props...) — one row per
     (feature, tile) piece, geometry in tile-local i32 coords serialized as
     WKB (exact: |coord| < 2^53)."""
+    # The bbox columns only feed the JVM cover arithmetic upstream; an
+    # opaque mapInPandas ships every input column (Spark cannot see which
+    # ones the function reads — guide §4 column-pruning point), so drop
+    # the 32 bytes/row of doubles before the Arrow boundary.
+    covered = covered.drop("xmin", "ymin", "xmax", "ymax")
     props = _prop_columns(covered,
                           exclude=("way", "feature_id", "zoom", "mtx", "mty",
                                    "xmin", "ymin", "xmax", "ymax"))
