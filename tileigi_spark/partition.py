@@ -235,18 +235,72 @@ def is_cell_partitioned(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _rect_cell_dirs(spark: SparkSession, path: str,
+                    rx0: int, ry0: int, rx1: int, ry1: int):
+    """Leaf partition directories inside the read rectangle, found by
+    listing ONLY the rectangle's cell_x branches (1 + |x-range| FS list
+    calls), never the rest of the table. None when the listing fails —
+    the caller falls back to the root read."""
+    try:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        dirs = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell_x=")):
+                continue
+            try:
+                cx = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if not (rx0 <= cx <= rx1):
+                continue
+            for sub in fs.listStatus(st.getPath()):
+                sname = sub.getPath().getName()
+                if not (sub.isDirectory() and sname.startswith("cell_y=")):
+                    continue
+                try:
+                    cy = int(sname.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if ry0 <= cy <= ry1:
+                    dirs.append(f"{path}/{name}/{sname}")
+        return dirs
+    except Exception:
+        return None
+
+
 def read_cell_partitioned(spark: SparkSession, path: str,
                           bbox_merc: Optional[tuple] = None,
                           minzoom: Optional[int] = None,
                           keep_cells: bool = False) -> DataFrame:
     """Exactly-once feature stream for a rectangular region (or the
-    whole table). Partition pruning: BETWEEN predicates on the two
-    partition columns prune directories natively; the exactly-once
-    filter is one codegen comparison per row."""
+    whole table). Directory-level pruning happens BEFORE Spark's file
+    index is built: for a small read rectangle the rectangle's leaf
+    partition directories are enumerated with a handful of FS list
+    calls and handed to the reader under basePath, so the driver never
+    lists (or caches) the other cells' directories at all — at a
+    4^cell_zoom-directory planet table that listing, not the scan, is
+    the fixed cost a dirty-city re-render pays. Large rectangles (or a
+    listing failure) fall back to the root read, where the BETWEEN
+    predicates on the partition columns still prune natively; the
+    exactly-once survivor filter is one codegen comparison per row
+    either way."""
     meta = layout_meta(spark, path)
     rx0, ry0, rx1, ry1 = read_rect(bbox_merc, meta["cell_zoom"], minzoom,
                                    meta.get("buffer_px", 2))
-    df = (spark.read.parquet(path)
+    n = 1 << meta["cell_zoom"]
+    rect_cells = (rx1 - rx0 + 1) * (ry1 - ry0 + 1)
+    dir_cap = int(os.environ.get("TILEIGI_CELL_READ_DIR_CAP", "256"))
+    df = None
+    if rect_cells < n * n and rect_cells <= dir_cap:
+        dirs = _rect_cell_dirs(spark, path, rx0, ry0, rx1, ry1)
+        if dirs:
+            df = (spark.read.option("basePath", path).parquet(*dirs))
+    if df is None:
+        df = spark.read.parquet(path)
+    df = (df
           .filter(F.col("cell_x").between(rx0, rx1)
                   & F.col("cell_y").between(ry0, ry1))
           .filter((F.col("cell_x")
