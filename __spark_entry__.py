@@ -654,14 +654,17 @@ ORDER BY a, b
 
 def _q_dedup_embedding_lsh(spark, sf_dir):
     """Banded AND-OR hyperplane-LSH near-dup (scale path). At these knobs
-    (24 tables × 4 bits for the loose 0.4 threshold) recall vs the exact
+    (32 tables × 4 bits for the loose 0.4 threshold) recall vs the exact
     twin is 1.0 on the fixtures, and the cosine verify guarantees
-    containment — so it shares the exact path's DuckDB oracle."""
+    containment — so it shares the exact path's DuckDB oracle. 32
+    tables: at 24 the sf0.1 fixture missed one true pair — the verify
+    keeps containment, so more tables only moves output TOWARD the
+    oracle and already-exact SFs are unchanged."""
     from tileigi_spark.dedup import embedding_near_dups
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .filter(F.col("vec_id") < 400))
-    return (embedding_near_dups(emb, threshold=0.4, n_tables=24, n_bits=4)
+    return (embedding_near_dups(emb, threshold=0.4, n_tables=32, n_bits=4)
             .select("a", "b").orderBy("a", "b"))
 
 
@@ -672,14 +675,17 @@ def _q_ann_lsh(spark, sf_dir):
     """Banded multiprobe LSH approximate top-k (scale path). At these
     knobs recall@5 vs brute force is 1.0 on the fixtures, so it shares
     the exact oracle (ranks agree whenever every true top-k candidate is
-    probed)."""
+    probed). n_tables=16: at 8 tables the sf0.001 fixture (500 vectors)
+    missed two rank-5 neighbors — every probed set is verified exactly,
+    so raising recall can only move the output TOWARD the oracle and
+    leaves already-exact SFs byte-identical."""
     from tileigi_spark.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = (emb.filter(F.col("vec_id") < 5)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_vec")))
-    got = lsh_topk(queries, emb, k=5, n_tables=8, n_bits=6, n_probes=6)
+    got = lsh_topk(queries, emb, k=5, n_tables=16, n_bits=6, n_probes=6)
     return got.select("query_id", "vec_id", "sim_rank") \
         .orderBy("query_id", "sim_rank")
 

@@ -545,6 +545,21 @@ def geometry_stage(covered: DataFrame, layer_id: str, buffer_px: int,
     # ones the function reads — guide §4 column-pruning point), so drop
     # the 32 bytes/row of doubles before the Arrow boundary.
     covered = covered.drop("xmin", "ymin", "xmax", "ymax")
+    # Cap this narrow stage's task count: a multi-layer / multi-zoom
+    # union of scan branches over small-file sources otherwise plans
+    # hundreds of micro-tasks, and each mapInPandas task carries tens of
+    # ms of fixed Arrow/worker cost plus the numpy lanes' per-call
+    # setup (measured: the 3-layer bench leg ran this stage as 256
+    # tasks, 118 core-s, most of it fixed cost). coalesce is narrow —
+    # no shuffle — and a no-op when the scan already has fewer splits;
+    # larger inputs get proportionally larger (not more) tasks, which
+    # is the right direction for a Python-bound stage.
+    try:
+        cores = covered.sparkSession.sparkContext.defaultParallelism
+        per_core = float(os.environ.get("TILEIGI_GEOM_PARTS_PER_CORE", "2"))
+        covered = covered.coalesce(max(1, int(cores * per_core)))
+    except Exception:
+        pass
     props = _prop_columns(covered,
                           exclude=("way", "feature_id", "zoom", "mtx", "mty",
                                    "xmin", "ymin", "xmax", "ymax"))

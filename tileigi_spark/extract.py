@@ -160,15 +160,18 @@ def geotag_pages(pages_df, text_col: str = "text", url_col: str = "url"):
     from .geom.wkb import geom_to_wkb
 
     # JVM-side prefilter: every coordinate mention contains a
-    # digit(1-3).digit token, so the no-match majority of a real crawl is
+    # digit.digit token, so the no-match majority of a real crawl is
     # skipped before any bytes cross into Python (rlike is a cheap
     # codegen'd scan predicate; the Python regex stays authoritative).
+    # \d\.\d is the minimal sufficient form — as a contains-predicate it
+    # accepts exactly the rows \d{1,3}\.\d does (the quantifier's
+    # minimum is 1) and the simpler machine scans measurably faster.
     # (?U) = Java UNICODE_CHARACTER_CLASS so \d matches the same Unicode
     # digits Python's re does — without it the prefilter would drop rows
     # the authoritative extractor can parse (float() accepts Unicode
     # decimal digits).
     pages_df = pages_df.filter(
-        F.col(text_col).rlike(r"(?U)\d{1,3}\.\d"))
+        F.col(text_col).rlike(r"(?U)\d\.\d"))
 
     out_schema = ("url string, lang string, lat double, lon double, "
                   "mx double, my double, span string, way binary")
