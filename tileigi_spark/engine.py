@@ -1443,14 +1443,46 @@ def build_tiles(spark: SparkSession, sources: dict[str, DataFrame],
             from .config import substitute_sql_tokens
 
             if layer_sql and "!" in layer_sql:
-                cov = None
-                src0 = None
+                # Token substitution yields one resolved query per zoom,
+                # but after constant folding many zooms share the SAME
+                # source plan (e.g. "WHERE !zoom! >= 5 OR k" folds to
+                # plain scans for every z >= 5). Group zooms by the
+                # normalized optimized plan (expression ids stripped —
+                # the only per-instance noise) so each distinct source
+                # is scanned and cover-exploded ONCE for its whole zoom
+                # group instead of once per zoom: a z2-z7 template layer
+                # drops from 6 scan branches to 2. Equal optimized plans
+                # produce equal source rows, so tile bytes are unchanged
+                # (pinned by test_template_zoom_grouping).
+                import re as _re
+
+                group_ok = os.environ.get("TILEIGI_SQL_ZOOM_GROUP",
+                                          "1") != "0"
+                grouped: dict[str, tuple] = {}
+                order_keys = []
                 for z in zs:
                     src_z = spark.sql(substitute_sql_tokens(layer_sql, z))
+                    key = f"__z{z}"
+                    if group_ok:
+                        try:
+                            key = _re.sub(
+                                r"#\d+", "#",
+                                str(src_z._jdf.queryExecution()
+                                    .optimizedPlan()))
+                        except Exception:
+                            pass
+                    if key not in grouped:
+                        grouped[key] = (src_z, [])
+                        order_keys.append(key)
+                    grouped[key][1].append(z)
+                cov = None
+                src0 = None
+                for key in order_keys:
+                    src_z, zlist = grouped[key]
                     if src0 is None:
                         src0 = src_z
-                    cov_z = cover_metatiles(_prep(src_z), [z], layer.buffer,
-                                            metatile_scale,
+                    cov_z = cover_metatiles(_prep(src_z), zlist,
+                                            layer.buffer, metatile_scale,
                                             zoom_filter=zoom_filter,
                                             bbox_merc=bbox_merc)
                     cov = cov_z if cov is None else cov.unionByName(cov_z)
