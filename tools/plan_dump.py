@@ -47,6 +47,24 @@ def bench_legs(spark, sf_dir):
     legs["poly_pyramid_z0_8"] = build_tiles(
         spark, {"boxes": boxes}, poly_layers, 0, 8, shuffle_parts=cpus * 8)
 
+    lines = bench.synth_lines(spark, 400)
+    pts_feats = feats.filter(F.pmod(F.abs(F.col("feature_id")),
+                                    F.lit(64)) == 0)
+    ml_layers = Layers(layers=[
+        Layer(id="pages", source="pages", minzoom=4, maxzoom=14, buffer=2),
+        Layer(id="roads", source="bench_lines", minzoom=2, maxzoom=14,
+              buffer=4,
+              sql=("SELECT * FROM bench_lines "
+                   "WHERE !zoom! >= 5 OR kind = 'way-0'")),
+        Layer(id="landuse", source="boxes", minzoom=0, maxzoom=6,
+              buffer=2,
+              zoom_filter=("pmod(abs(feature_id), "
+                           "shiftleft(1, 2 * (6 - zoom))) = 0")),
+    ], global_maxzoom=14)
+    legs["multilayer_pyramid_z0_7"] = build_tiles(
+        spark, {"pages": pts_feats, "boxes": boxes, "bench_lines": lines},
+        ml_layers, 0, 7, shuffle_parts=cpus * 8)
+
     hz_thin = "pmod(abs(feature_id), shiftleft(1, 2 * (14 - zoom))) = 0"
     hz_layers = Layers(layers=[Layer(id="pages", source="pages",
                                      minzoom=0, maxzoom=14, buffer=2,
