@@ -678,8 +678,7 @@ def _encode_feature_wkb(is_line, multi, ring_slices, ring_int):
 # MultiPolygon-of-1).
 
 def _bbox_of(pts):
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
+    xs, ys = zip(*pts)  # C-level transpose; 2x the two list comps
     return (min(xs), min(ys), max(xs), max(ys))
 
 
